@@ -1,0 +1,182 @@
+"""Pipeline-stage tests: fused UME generation vs explicit-gather oracle,
+streaming argmin matching, correlator hypothesis selection, grid-NN + ICP."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from umeregrobust_tpu.core.transforms import apply_transform, make_transform
+from umeregrobust_tpu.core.ume import moment_matrix, ume_pairwise_distance
+from umeregrobust_tpu.ops.gridnn import build_grid, nn_query
+from umeregrobust_tpu.ops.neighbors import ball_query, gather_padded
+from umeregrobust_tpu.pipeline.correlator import select_best_transform
+from umeregrobust_tpu.pipeline.icp import icp_point_to_point, umeyama
+from umeregrobust_tpu.pipeline.matching import argmin_match, probabilistic_match_filter
+from umeregrobust_tpu.pipeline.ume_gen import ume_from_ball_query
+
+
+def _cloud(rng, n=800, c=8, scale=10.0):
+    pts = rng.uniform(-scale, scale, size=(n, 3)).astype(np.float32)
+    feat = rng.uniform(0.1, 1.0, size=(n, c)).astype(np.float32)
+    return jnp.array(pts), jnp.array(feat)
+
+
+class TestFusedUME:
+    def test_matches_gather_oracle(self, rng):
+        pts, feat = _cloud(rng)
+        kpts = pts[:32]
+        r, K = 3.0, 40
+        F = ume_from_ball_query(pts, feat, kpts, radius=r, max_nn=K,
+                                normalize=False, chunk=16)
+        idx = ball_query(kpts, pts, radius=r, K=K)
+        nn_p = gather_padded(pts, idx)
+        nn_f = gather_padded(feat, idx)
+        want = moment_matrix(nn_p, nn_f, normalize=False)
+        np.testing.assert_allclose(np.asarray(F), np.asarray(want), rtol=2e-5, atol=1e-4)
+
+    def test_cap_semantics(self, rng):
+        """With max_nn smaller than the true neighbor count, the first-K by
+        index are used (PyTorch3D semantics)."""
+        pts, feat = _cloud(rng, n=300, scale=2.0)  # dense -> caps bind
+        kpts = pts[:8]
+        r, K = 3.0, 10
+        F = ume_from_ball_query(pts, feat, kpts, radius=r, max_nn=K,
+                                normalize=False, chunk=8)
+        idx = ball_query(kpts, pts, radius=r, K=K)
+        want = moment_matrix(gather_padded(pts, idx), gather_padded(feat, idx))
+        np.testing.assert_allclose(np.asarray(F), np.asarray(want), rtol=2e-5, atol=1e-4)
+
+    def test_normalize_and_mask(self, rng):
+        pts, feat = _cloud(rng)
+        mask = jnp.array(np.arange(800) < 600)
+        kpts = pts[:16]
+        F = ume_from_ball_query(pts, feat, kpts, radius=4.0, max_nn=100,
+                                p_mask=mask, normalize=True, chunk=16)
+        idx = ball_query(kpts, pts, radius=4.0, K=100, p_mask=mask)
+        want = moment_matrix(gather_padded(pts, idx), gather_padded(feat, idx),
+                             normalize=True)
+        np.testing.assert_allclose(np.asarray(F), np.asarray(want), rtol=2e-5, atol=1e-4)
+
+
+class TestMatching:
+    def test_argmin_matches_dense(self, rng, key):
+        pts, feat = _cloud(rng, n=500)
+        kp1, kp2 = pts[:40], pts[40:100]
+        u1 = ume_from_ball_query(pts, feat, kp1, radius=4.0, max_nn=64)
+        u2 = ume_from_ball_query(pts, feat, kp2, radius=4.0, max_nn=64)
+        m, d = argmin_match(u1, u2, chunk=16)
+        D = np.asarray(ume_pairwise_distance(u1, u2))
+        np.testing.assert_array_equal(np.asarray(m), D.argmin(axis=1))
+        np.testing.assert_allclose(np.asarray(d), D.min(axis=1), atol=1e-4)
+
+    def test_prob_filter_prefers_small_distance(self, key):
+        d = jnp.concatenate([jnp.full((50,), 0.01), jnp.full((950,), 0.9)])
+        keep = probabilistic_match_filter(key, d, 40, tau=0.05)
+        frac_good = float(jnp.mean((keep < 50).astype(jnp.float32)))
+        assert frac_good > 0.8
+
+
+class TestGridNN:
+    def test_exact_within_radius(self, rng):
+        p = rng.uniform(-5, 5, size=(700, 3)).astype(np.float32)
+        q = rng.uniform(-5, 5, size=(200, 3)).astype(np.float32)
+        r = 0.5
+        grid = build_grid(jnp.array(p), jnp.ones(700, bool), cell=r)
+        dist, idx = nn_query(grid, jnp.array(q), radius=r, budget=64)
+        dist, idx = np.asarray(dist), np.asarray(idx)
+        dd = np.linalg.norm(q[:, None] - p[None], axis=-1)
+        best = dd.argmin(axis=1)
+        for i in range(200):
+            if dd[i, best[i]] <= r:
+                assert idx[i] >= 0
+                np.testing.assert_allclose(dist[i], dd[i, best[i]], atol=1e-5)
+                assert np.isclose(dd[i, idx[i]], dd[i, best[i]], atol=1e-5)
+            else:
+                assert idx[i] == -1
+
+
+class TestUmeyamaICP:
+    def test_umeyama_exact(self, rng, key):
+        p = jnp.array(rng.normal(size=(100, 3)).astype(np.float32))
+        from umeregrobust_tpu.core.transforms import random_rigid_transform
+        T = random_rigid_transform(key, max_translation=5.0)
+        q = apply_transform(T, p)
+        T_est = umeyama(p, q, jnp.ones(100))
+        np.testing.assert_allclose(np.asarray(T_est), np.asarray(T), atol=1e-4)
+
+    def test_icp_converges_from_perturbed_init(self, rng):
+        from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair
+        pair = make_pair(SceneConfig(extent=15.0, ground_points=4000,
+                                     structure_points=8000, n_boxes=12,
+                                     n_walls=4, n_poles=6, dropout=0.2),
+                         max_rotation_deg=30, max_translation=3.0, seed=5)
+        src = jnp.array(pair["src_pts"])
+        tgt = jnp.array(pair["tgt_pts"])
+        gt = pair["gt_tform"]
+        # perturb gt by a small rotation + translation
+        ang = np.radians(2.0)
+        dR = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        init = gt.copy()
+        init[:3, :3] = dR @ gt[:3, :3]
+        init[:3, 3] += np.array([0.15, -0.1, 0.05], np.float32)
+        T, rmse, fit = icp_point_to_point(src, tgt, jnp.array(init),
+                                          max_corr=0.4, max_iter=60)
+        T = np.asarray(T)
+        from umeregrobust_tpu.core.transforms import relative_rotation_error
+        rre = float(relative_rotation_error(jnp.array(gt[None, :3, :3]),
+                                            jnp.array(T[None, :3, :3]))[0])
+        rte = float(np.linalg.norm(T[:3, 3] - gt[:3, 3]))
+        assert rre < 0.5, rre
+        assert rte < 0.1, rte
+
+
+class TestCorrelator:
+    def test_selects_gt_hypothesis(self, rng, key):
+        """Among random wrong hypotheses plus the true transform, the
+        correlator must pick the true one."""
+        from umeregrobust_tpu.core.transforms import random_rigid_transform
+        from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair
+        pair = make_pair(SceneConfig(extent=12.0, ground_points=2500,
+                                     structure_points=5000, n_boxes=10,
+                                     n_walls=4, n_poles=5, dropout=0.2),
+                         max_rotation_deg=60, max_translation=4.0, seed=7)
+        n = 2000
+        si = rng.choice(len(pair["src_pts"]), n, replace=False)
+        ti = rng.choice(len(pair["tgt_pts"]), n, replace=False)
+        src = jnp.array(pair["src_pts"][si])
+        tgt = jnp.array(pair["tgt_pts"][ti])
+        # geometric pseudo-features: height + label, transform-covariant
+        def feats(p, seg):
+            return jnp.stack([p[:, 2], jnp.array(seg, jnp.float32)], axis=-1)
+        fs = feats(src, pair["src_seg"][si])
+        ft = feats(tgt, pair["tgt_seg"][ti])
+        mask = jnp.ones(n, bool)
+        bad = random_rigid_transform(key, (15,), max_translation=8.0)
+        Ts = jnp.concatenate([bad, jnp.array(pair["gt_tform"])[None]], axis=0)
+        best_T, scores = select_best_transform(
+            src, fs, mask, tgt, ft, mask, Ts, sigma=1.5, coarse_src=None)
+        np.testing.assert_allclose(np.asarray(best_T), pair["gt_tform"], atol=1e-5)
+
+    def test_two_stage_agrees_with_exact(self, rng, key):
+        from umeregrobust_tpu.core.transforms import random_rigid_transform
+        from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair
+        pair = make_pair(SceneConfig(extent=12.0, ground_points=2500,
+                                     structure_points=5000, n_boxes=10,
+                                     n_walls=4, n_poles=5, dropout=0.2),
+                         max_rotation_deg=60, max_translation=4.0, seed=9)
+        n = 2000
+        si = rng.choice(len(pair["src_pts"]), n, replace=False)
+        ti = rng.choice(len(pair["tgt_pts"]), n, replace=False)
+        src = jnp.array(pair["src_pts"][si])
+        tgt = jnp.array(pair["tgt_pts"][ti])
+        fs = src[:, 2:3]
+        ft = tgt[:, 2:3]
+        mask = jnp.ones(n, bool)
+        bad = random_rigid_transform(key, (127,), max_translation=8.0)
+        Ts = jnp.concatenate([bad, jnp.array(pair["gt_tform"])[None]], axis=0)
+        best_exact, _ = select_best_transform(
+            src, fs, mask, tgt, ft, mask, Ts, sigma=1.5, coarse_src=None)
+        best_2s, _ = select_best_transform(
+            src, fs, mask, tgt, ft, mask, Ts, sigma=1.5,
+            coarse_src=512, rescore_top=16, key=key)
+        np.testing.assert_allclose(np.asarray(best_exact), np.asarray(best_2s))

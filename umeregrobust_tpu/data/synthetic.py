@@ -1,0 +1,155 @@
+"""Synthetic structured LiDAR-like scenes with exact ground-truth transforms.
+
+The reference has no automated tests and validates only against benchmark
+datasets that are not shippable; this module provides the test/bench
+substrate: procedurally generated scenes (ground plane + boxes + walls +
+poles, surface-sampled like a 2D manifold) observed from two poses with
+noise and partial overlap, yielding (src, tgt, gt_transform) registration
+pairs with the same statistics the pipeline cares about (surface-like voxel
+occupancy, non-flat structures for keypoints, ~50 m extent).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+__all__ = ["SceneConfig", "make_scene", "make_pair"]
+
+
+@dataclass
+class SceneConfig:
+    extent: float = 50.0  # half-size of the scene in meters
+    n_boxes: int = 40
+    n_walls: int = 12
+    n_poles: int = 25
+    ground_points: int = 30000
+    structure_points: int = 60000
+    noise_std: float = 0.02
+    dropout: float = 0.35  # per-scan random point dropout (partial overlap)
+    seed: int = 0
+
+
+def _sample_box_surface(rng, center, size, yaw, n):
+    """Uniform samples on the 5 visible faces (no bottom) of a yawed box."""
+    w, d, h = size
+    areas = np.array([w * d, d * h, d * h, w * h, w * h])  # top,4 sides
+    face = rng.choice(5, size=n, p=areas / areas.sum())
+    u = rng.uniform(-0.5, 0.5, size=n)
+    v = rng.uniform(-0.5, 0.5, size=n)
+    pts = np.zeros((n, 3), np.float32)
+    # top
+    m = face == 0
+    pts[m] = np.stack([u[m] * w, v[m] * d, np.full(m.sum(), 0.5 * h)], -1)
+    m = face == 1
+    pts[m] = np.stack([np.full(m.sum(), 0.5 * w), u[m] * d, v[m] * h], -1)
+    m = face == 2
+    pts[m] = np.stack([np.full(m.sum(), -0.5 * w), u[m] * d, v[m] * h], -1)
+    m = face == 3
+    pts[m] = np.stack([u[m] * w, np.full(m.sum(), 0.5 * d), v[m] * h], -1)
+    m = face == 4
+    pts[m] = np.stack([u[m] * w, np.full(m.sum(), -0.5 * d), v[m] * h], -1)
+    pts[:, 2] += 0.5 * h
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    return pts @ R.T + center
+
+
+def make_scene(cfg: SceneConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (points (N,3) float32, labels (N,) int32).
+
+    Labels follow the semantic-KITTI learning-map convention the pipeline
+    consumes: 9 = flat/ground (excluded from keypoints, reference
+    utils/loc_utils.py:94 flat_labels=[9]), >0 structured, 0 unlabeled.
+    """
+    rng = np.random.default_rng(cfg.seed)
+    e = cfg.extent
+
+    # ground plane with gentle undulation
+    g_xy = rng.uniform(-e, e, size=(cfg.ground_points, 2)).astype(np.float32)
+    g_z = (0.15 * np.sin(g_xy[:, 0] * 0.15) * np.cos(g_xy[:, 1] * 0.1)).astype(
+        np.float32
+    )
+    ground = np.concatenate([g_xy, g_z[:, None]], axis=1)
+
+    structures = []
+    n_struct = cfg.n_boxes + cfg.n_walls + cfg.n_poles
+    pts_per = cfg.structure_points // max(n_struct, 1)
+    for _ in range(cfg.n_boxes):  # cars/containers
+        center = np.array(
+            [rng.uniform(-e, e), rng.uniform(-e, e), 0.0], np.float32)
+        size = rng.uniform([1.5, 3.0, 1.2], [2.5, 5.5, 2.2]).astype(np.float32)
+        structures.append(_sample_box_surface(
+            rng, center, size, rng.uniform(0, 2 * np.pi), pts_per))
+    for _ in range(cfg.n_walls):  # building facades
+        center = np.array(
+            [rng.uniform(-e, e), rng.uniform(-e, e), 0.0], np.float32)
+        size = rng.uniform([0.3, 8.0, 4.0], [0.6, 20.0, 9.0]).astype(np.float32)
+        structures.append(_sample_box_surface(
+            rng, center, size, rng.uniform(0, 2 * np.pi), pts_per))
+    for _ in range(cfg.n_poles):  # poles/trunks
+        center = np.array(
+            [rng.uniform(-e, e), rng.uniform(-e, e), 0.0], np.float32)
+        size = rng.uniform([0.2, 0.2, 3.0], [0.5, 0.5, 7.0]).astype(np.float32)
+        structures.append(_sample_box_surface(
+            rng, center, size, rng.uniform(0, 2 * np.pi), pts_per))
+
+    struct_pts = np.concatenate(structures, axis=0).astype(np.float32)
+    pts = np.concatenate([ground, struct_pts], axis=0)
+    labels = np.concatenate(
+        [np.full(len(ground), 9, np.int32), np.full(len(struct_pts), 1, np.int32)]
+    )
+    return pts, labels
+
+
+def make_pair(
+    cfg: SceneConfig,
+    max_rotation_deg: float = 180.0,
+    max_translation: float = 10.0,
+    z_rotation_only: bool = True,
+    seed: int | None = None,
+) -> dict:
+    """One registration pair: two noisy partial observations of a scene.
+
+    Returns dict with src_pts, src_seg, tgt_pts, tgt_seg (numpy) and
+    gt_tform (4,4) mapping src -> tgt, i.e. tgt ~= R @ src + t on the
+    overlap (the reference's convention, kitti_dataset.py:437).
+    """
+    rng = np.random.default_rng(cfg.seed if seed is None else seed)
+    pts, labels = make_scene(cfg)
+
+    def observe(p, lab):
+        keep = rng.uniform(size=len(p)) > cfg.dropout
+        q = p[keep] + rng.normal(scale=cfg.noise_std, size=(keep.sum(), 3))
+        return q.astype(np.float32), lab[keep]
+
+    src_pts, src_seg = observe(pts, labels)
+    tgt_world, tgt_seg = observe(pts, labels)
+
+    ang = np.radians(rng.uniform(-max_rotation_deg, max_rotation_deg))
+    if z_rotation_only:
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    else:
+        A = rng.normal(size=(3, 3))
+        Q, r = np.linalg.qr(A)
+        Q = Q * np.sign(np.diag(r))
+        if np.linalg.det(Q) < 0:
+            Q[:, 2] *= -1
+        R = Q.astype(np.float32)
+    t = rng.uniform(-1, 1, size=3).astype(np.float32) * max_translation
+    t[2] *= 0.05  # mostly planar motion, like a vehicle
+
+    # target frame = R @ world + t; src observed in world frame
+    tgt_pts = (tgt_world @ R.T + t).astype(np.float32)
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, :3] = R
+    gt[:3, 3] = t
+    return {
+        "src_pts": src_pts,
+        "src_seg": src_seg.astype(np.int32),
+        "tgt_pts": tgt_pts,
+        "tgt_seg": tgt_seg.astype(np.int32),
+        "gt_tform": gt,
+    }

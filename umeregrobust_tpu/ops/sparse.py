@@ -1,0 +1,218 @@
+"""Static-shape sparse 3D convolution for TPU: kernel maps + gather-GEMM.
+
+TPU-native replacement for MinkowskiEngine's coordinate manager and
+(transposed/strided) sparse convolutions (reference models.py:36,418,484,
+ME semantics per MinkowskiEngine 0.5). Key ideas:
+
+- A sparse tensor level is (coords (N,4) int32 [b,x,y,z], mask (N,)) at a
+  fixed *tensor stride* t, padded to a static capacity N.
+- Kernel maps are dense (K_vol, N_out) int32 neighbor tables built by hash
+  lookups: nbr[k, i] = row of the input voxel at out_coords[i] +/- offset_k,
+  or -1. Built once per cloud, reused by every conv at that level (the
+  encoder's stride-1 self-map serves conv1 AND every residual block at L1,
+  exactly like ME's cached coordinate manager).
+- The conv itself is a scan over kernel offsets: gather rows (pads -> zero
+  row) then one (N_out, Cin) x (Cin, Cout) matmul per offset on the MXU,
+  accumulated in fp32. No scatter is needed because output rows are fixed.
+
+ME semantics replicated (needed to reuse/convert reference checkpoints):
+- odd kernel (k=3) offsets are centered: delta in {-t,0,t}^3 with t = input
+  tensor stride for convs, output tensor stride for transposed convs;
+- strided conv output coords = unique(floor(c / (t*s)) * (t*s));
+- transposed conv output coords = the existing finer-level coordinate map
+  (the UNet decoder always lands on the encoder's coords, which is what
+  makes ME.cat(skip) legal in the reference, models.py:586-607);
+- transposed conv is the true transpose: out a gathers in (a - delta_k)
+  with weight k (conv: out b gathers in (b + delta_k) with weight k).
+
+Offset enumeration is lexicographic over (dx, dy, dz) in {-1,0,1}^3 with dz
+fastest; the checkpoint converter owns any permutation to ME's order.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from umeregrobust_tpu.ops.hashing import HashTable, build_hash_table, lookup
+from umeregrobust_tpu.ops.neighbors import gather_padded
+
+__all__ = [
+    "Level",
+    "kernel_offsets",
+    "build_self_map",
+    "downsample_coords",
+    "build_conv_map",
+    "build_transpose_map",
+    "sparse_conv",
+    "masked_batch_norm",
+]
+
+
+class Level(NamedTuple):
+    """One resolution level of a sparse tensor pyramid."""
+
+    coords: jnp.ndarray  # (N, 4) int32 (b, x, y, z) in unit-voxel ints
+    mask: jnp.ndarray  # (N,) bool
+    table: HashTable  # hash table over coords
+
+
+def make_level(coords: jnp.ndarray, mask: jnp.ndarray) -> Level:
+    return Level(coords=coords, mask=mask, table=build_hash_table(coords, mask))
+
+
+def kernel_offsets(kernel_size: int, t: int) -> np.ndarray:
+    """(K_vol, 4) int32 offsets (0, dx, dy, dz) * t, centered for odd k."""
+    assert kernel_size % 2 == 1, "only odd kernels used by the reference"
+    r = kernel_size // 2
+    rng = range(-r, r + 1)
+    offs = [(0, dx * t, dy * t, dz * t) for dx in rng for dy in rng for dz in rng]
+    return np.asarray(offs, dtype=np.int32)
+
+
+def _build_map(
+    in_table: HashTable,
+    out_coords: jnp.ndarray,
+    out_mask: jnp.ndarray,
+    offsets: np.ndarray,
+    sign: int,
+) -> jnp.ndarray:
+    """(K_vol, N_out) neighbor table: lookup(out + sign*offset_k)."""
+    offs = jnp.asarray(offsets)
+
+    def per_offset(off):
+        q = out_coords + sign * off[None, :]
+        return lookup(in_table, q, out_mask)
+
+    return jax.vmap(per_offset)(offs)
+
+
+def build_self_map(level: Level, kernel_size: int, t: int) -> jnp.ndarray:
+    """Stride-1 conv map at tensor stride t (used by convs and res-blocks)."""
+    return _build_map(level.table, level.coords, level.mask,
+                      kernel_offsets(kernel_size, t), sign=+1)
+
+
+def build_conv_map(
+    in_level: Level, out_level: Level, kernel_size: int, t_in: int
+) -> jnp.ndarray:
+    """Strided conv map: out voxel b gathers in voxels b + delta, delta in
+    {-t_in,..,t_in}^3."""
+    return _build_map(in_level.table, out_level.coords, out_level.mask,
+                      kernel_offsets(kernel_size, t_in), sign=+1)
+
+
+def build_transpose_map(
+    coarse_level: Level, fine_level: Level, kernel_size: int, t_out: int
+) -> jnp.ndarray:
+    """Transposed conv map: fine out voxel a gathers coarse in voxel
+    (a - delta_k), delta in {-t_out,..,t_out}^3 (true-transpose weight
+    indexing)."""
+    return _build_map(coarse_level.table, fine_level.coords, fine_level.mask,
+                      kernel_offsets(kernel_size, t_out), sign=-1)
+
+
+@partial(jax.jit, static_argnames=("out_stride", "capacity"))
+def downsample_coords(
+    coords: jnp.ndarray,
+    mask: jnp.ndarray,
+    out_stride: int,
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unique stride-quantized coordinates (ME strided-conv output map).
+
+    out = unique(floor(c / out_stride) * out_stride), deterministic order =
+    first occurrence in input row order. Returns (coords (capacity, 4),
+    mask (capacity,)). Overflow beyond capacity is dropped (tracked by the
+    mask sum; callers size capacities generously).
+    """
+    s = jnp.int32(out_stride)
+    spatial = coords[:, 1:]
+    q = jnp.concatenate(
+        [coords[:, :1], (spatial // s) * s], axis=-1  # floor-div: correct for negatives
+    )
+    table = build_hash_table(q, mask)
+    canon = lookup(table, q, mask)
+    # row i is the canonical representative of its key iff lookup returns i
+    rep = mask & (canon == jnp.arange(q.shape[0], dtype=jnp.int32))
+    pos = jnp.cumsum(rep.astype(jnp.int32)) - 1
+    n_out = jnp.sum(rep.astype(jnp.int32))
+    out_idx = jnp.where(rep & (pos < capacity), pos, capacity)
+    out_coords = jnp.zeros((capacity, 4), jnp.int32).at[out_idx].set(q, mode="drop")
+    out_mask = jnp.arange(capacity) < jnp.minimum(n_out, capacity)
+    return out_coords, out_mask
+
+
+def sparse_conv(
+    feats: jnp.ndarray,
+    weights: jnp.ndarray,
+    nbr_map: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Apply a sparse convolution given a prebuilt kernel map.
+
+    Args:
+      feats:   (N_in, Cin). Invalid rows MUST be zero (invariant maintained
+               by every producer in this package).
+      weights: (K_vol, Cin, Cout).
+      nbr_map: (K_vol, N_out) int32 rows into feats, -1 for missing.
+      bias:    optional (Cout,).
+      compute_dtype: matmul input dtype (bf16 for the backbone hot path).
+
+    Returns (N_out, Cout) fp32.
+    """
+    K = weights.shape[0]
+    f = feats.astype(compute_dtype)
+    w = weights.astype(compute_dtype)
+
+    def step(acc, xs):
+        w_k, nbr_k = xs
+        g = gather_padded(f, nbr_k)  # (N_out, Cin); -1 -> zero row
+        return acc + jnp.matmul(g, w_k, preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((nbr_map.shape[1], weights.shape[2]), jnp.float32)
+    out, _ = jax.lax.scan(step, acc0, (w, nbr_map))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out
+
+
+def masked_batch_norm(
+    feats: jnp.ndarray,
+    mask: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    running_mean: jnp.ndarray,
+    running_var: jnp.ndarray,
+    train: bool,
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """BatchNorm over valid voxel rows only (padding excluded from stats).
+
+    Matches ME.MinkowskiBatchNorm / torch BN semantics: biased variance for
+    normalization, unbiased for the running estimate, torch momentum
+    convention new = (1-m)*old + m*batch (reference models.py:13-15,
+    bn_momentum=0.1 at every call site).
+
+    Returns (normalized feats with invalid rows re-zeroed, new_mean, new_var).
+    """
+    m = mask.astype(jnp.float32)[:, None]
+    n = jnp.maximum(jnp.sum(m), 1.0)
+    if train:
+        mean = jnp.sum(feats * m, axis=0) / n
+        diff = (feats - mean[None, :]) * m
+        var = jnp.sum(diff * diff, axis=0) / n
+        unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+        new_mean = (1.0 - momentum) * running_mean + momentum * mean
+        new_var = (1.0 - momentum) * running_var + momentum * unbiased
+    else:
+        mean, var = running_mean, running_var
+        new_mean, new_var = running_mean, running_var
+    inv = jax.lax.rsqrt(var + eps)
+    out = (feats - mean[None, :]) * (inv * scale)[None, :] + bias[None, :]
+    return out * m, new_mean, new_var

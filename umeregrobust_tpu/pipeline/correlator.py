@@ -1,0 +1,178 @@
+"""Kernel-correlation hypothesis scoring (the "FeatureCorrelator").
+
+Scores each candidate rigid transform T by a Cauchy-weighted feature
+correlation between the transformed source and the target cloud, and picks
+the argmax. Functional parity with reference utils/loc_utils.py:579-681
+(feature_spatial_var / cauchy_kernel / pc_corr* / FeatureCorrelator) and
+evaluate.py:20-47 (pc_fcht):
+
+  m         = mean feature over src+tgt concatenated
+  w_p       = mean kNN(50, excl. self) feature-difference norm per point
+  f~        = (f - m) * w_p
+  score(T)  = sum_i sum_{j in kNN20(T p_i)} cauchy(|T p_i - q_j|, sigma)
+              * <f~_i, g~_j>  / N_src
+
+TPU design: one hypothesis at a time under lax.scan (hypothesis count is
+the reference's corr-batch loop), source points chunked so the
+(chunk x N_tgt) distance matrix stays small; the cross term is an MXU
+matmul. An optional two-stage mode scores all hypotheses on a subsampled
+source first and rescores only the top few exactly — a TPU-side redesign
+that preserves the argmax with overwhelming probability at ~10x less work.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from umeregrobust_tpu.ops.neighbors import gather_padded, knn, pairwise_sqdist
+
+__all__ = [
+    "cauchy_kernel",
+    "feature_spatial_var",
+    "prepare_weighted_features",
+    "correlator_scores",
+    "select_best_transform",
+]
+
+
+def cauchy_kernel(e: jnp.ndarray, k: float = 0.1) -> jnp.ndarray:
+    """1 / (1 + (e/k)^2) (reference utils/loc_utils.py:588-589)."""
+    return 1.0 / (1.0 + (e / k) ** 2)
+
+
+def feature_spatial_var(
+    pts: jnp.ndarray,
+    feat: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int = 50,
+) -> jnp.ndarray:
+    """Mean feature-difference norm over the k-1 nearest neighbors
+    (self excluded), reference utils/loc_utils.py:579-585 with knn=50."""
+    _, idx = knn(pts, pts, K=k, q_mask=mask, p_mask=mask)
+    nbr_feat = gather_padded(feat, idx[:, 1:])  # (N, k-1, C), drop self
+    diff = feat[:, None, :] - nbr_feat
+    return jnp.mean(jnp.linalg.norm(diff, axis=-1), axis=-1) * mask
+
+
+def prepare_weighted_features(
+    src_pts: jnp.ndarray,
+    src_feat: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_pts: jnp.ndarray,
+    tgt_feat: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    var_knn: int = 50,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean-center (joint mean) and spatial-variance-weight both feature
+    sets (reference utils/loc_utils.py:660-664)."""
+    m_all = jnp.concatenate([src_mask, tgt_mask]).astype(jnp.float32)
+    f_all = jnp.concatenate([src_feat, tgt_feat], axis=0)
+    m = jnp.sum(f_all * m_all[:, None], axis=0) / jnp.maximum(jnp.sum(m_all), 1.0)
+    w_src = feature_spatial_var(src_pts, src_feat, src_mask, k=var_knn)
+    w_tgt = feature_spatial_var(tgt_pts, tgt_feat, tgt_mask, k=var_knn)
+    fs = (src_feat - m) * w_src[:, None] * src_mask[:, None]
+    ft = (tgt_feat - m) * w_tgt[:, None] * tgt_mask[:, None]
+    return fs, ft
+
+
+@partial(jax.jit, static_argnames=("knn_k", "sigma", "chunk"))
+def correlator_scores(
+    src_pts: jnp.ndarray,
+    src_featw: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_pts: jnp.ndarray,
+    tgt_featw: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    Ts: jnp.ndarray,
+    knn_k: int = 20,
+    sigma: float = 1.5,
+    chunk: int = 2048,
+) -> jnp.ndarray:
+    """Score (H,) for each hypothesis T in Ts (H, 4, 4).
+
+    Normalization is by the static source capacity, matching the
+    reference's division by the full source point count
+    (utils/loc_utils.py:614 divides by vals_p.shape[0]); with full masks the
+    two coincide, and scores are only ever compared across hypotheses of
+    the same pair so a constant factor is immaterial.
+    """
+    N = src_pts.shape[0]
+    pad = (-N) % chunk
+    sp = jnp.pad(src_pts, ((0, pad), (0, 0)))
+    sf = jnp.pad(src_featw, ((0, pad), (0, 0)))
+    sm = jnp.pad(src_mask, (0, pad))
+    n_chunks = sp.shape[0] // chunk
+
+    tgt_d2_mask = jnp.where(tgt_mask, 0.0, jnp.float32(1e30))
+
+    def score_one(T):
+        R = T[:3, :3]
+        t = T[:3, 3]
+
+        def chunk_step(acc, xs):
+            p, f, m = xs
+            p_t = p @ R.T + t
+            d2 = pairwise_sqdist(p_t, tgt_pts) + tgt_d2_mask[None, :]
+            neg_d2, idx = jax.lax.top_k(-d2, knn_k)  # (chunk, K)
+            d = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
+            w = cauchy_kernel(d, sigma)
+            g = gather_padded(tgt_featw, idx)  # (chunk, K, C)
+            val = jnp.einsum("nc,nkc->nk", f, g)
+            contrib = jnp.sum(w * val * m[:, None])
+            return acc + contrib, None
+
+        acc, _ = jax.lax.scan(
+            chunk_step, jnp.float32(0.0),
+            (sp.reshape(n_chunks, chunk, 3),
+             sf.reshape(n_chunks, chunk, -1),
+             sm.reshape(n_chunks, chunk)),
+        )
+        return acc / jnp.float32(N)
+
+    return jax.lax.map(score_one, Ts.astype(jnp.float32))
+
+
+def select_best_transform(
+    src_pts: jnp.ndarray,
+    src_feat: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_pts: jnp.ndarray,
+    tgt_feat: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    Ts: jnp.ndarray,
+    sigma: float,
+    knn_k: int = 20,
+    var_knn: int = 50,
+    coarse_src: Optional[int] = 1024,
+    rescore_top: int = 64,
+    key: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full hypothesis test: weight features, score all Ts, return
+    (best_T, scores). Two-stage when coarse_src is set and smaller than the
+    source size: coarse scores on a subsampled source select `rescore_top`
+    candidates for exact scoring (set coarse_src=None for exact parity with
+    the reference's single-stage scoring)."""
+    fs, ft = prepare_weighted_features(
+        src_pts, src_feat, src_mask, tgt_pts, tgt_feat, tgt_mask, var_knn=var_knn)
+    H = Ts.shape[0]
+    if coarse_src is not None and coarse_src < src_pts.shape[0] and H > rescore_top:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        sel = jax.random.choice(key, src_pts.shape[0], (coarse_src,), replace=False)
+        coarse = correlator_scores(
+            src_pts[sel], fs[sel], src_mask[sel], tgt_pts, ft, tgt_mask, Ts,
+            knn_k=knn_k, sigma=sigma, chunk=min(1024, coarse_src))
+        _, top_idx = jax.lax.top_k(coarse, rescore_top)
+        Ts_top = Ts[top_idx]
+        fine = correlator_scores(
+            src_pts, fs, src_mask, tgt_pts, ft, tgt_mask, Ts_top,
+            knn_k=knn_k, sigma=sigma)
+        best = jnp.argmax(fine)
+        scores = jnp.full((H,), -jnp.inf).at[top_idx].set(fine)
+        return Ts_top[best], scores
+    scores = correlator_scores(
+        src_pts, fs, src_mask, tgt_pts, ft, tgt_mask, Ts, knn_k=knn_k, sigma=sigma)
+    return Ts[jnp.argmax(scores)], scores

@@ -1,0 +1,105 @@
+"""Jittable point-to-point ICP refinement.
+
+TPU-native replacement for the reference's Open3D refinement stage
+(evaluate.py:63-109: registration_icp with max_correspondence_distance=0.2,
+TransformationEstimationPointToPoint, max_iteration=200). Correspondences
+come from the grid-bucketed NN index (exact within the radius), the update
+is the closed-form Umeyama/SVD solution, and the loop is a
+``lax.while_loop`` with Open3D's convergence criteria (relative fitness and
+relative rmse below 1e-6, same defaults as ICPConvergenceCriteria).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from umeregrobust_tpu.core.transforms import make_transform
+from umeregrobust_tpu.ops.gridnn import GridIndex, build_grid, nn_query
+
+__all__ = ["umeyama", "icp_point_to_point"]
+
+
+def umeyama(
+    p: jnp.ndarray, q: jnp.ndarray, w: jnp.ndarray
+) -> jnp.ndarray:
+    """Weighted closed-form rigid alignment: argmin_T sum w |T(p) - q|^2.
+
+    p, q: (N, 3); w: (N,) nonnegative weights (0 for non-correspondences).
+    Returns (4, 4).
+    """
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    wn = (w / wsum)[:, None]
+    cp = jnp.sum(p * wn, axis=0)
+    cq = jnp.sum(q * wn, axis=0)
+    pc = (p - cp) * wn
+    qc = q - cq
+    H = pc.T @ qc  # (3,3)
+    U, _, VT = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(VT.T @ U.T))
+    S = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
+    R = VT.T @ S @ U.T
+    t = cq - R @ cp
+    return make_transform(R, t)
+
+
+@partial(jax.jit, static_argnames=("max_corr", "max_iter", "budget"))
+def _icp_loop(src, src_mask, grid_arrays, init_T, max_corr, max_iter, budget):
+    grid = GridIndex(*grid_arrays[:-1], cell=max_corr)
+
+    def corr_and_update(T):
+        src_t = src @ T[:3, :3].T + T[:3, 3]
+        dist, idx = nn_query(grid, src_t, radius=max_corr, q_mask=src_mask,
+                             budget=budget)
+        ok = (idx >= 0) & src_mask
+        w = ok.astype(jnp.float32)
+        q = grid.points[jnp.where(ok, idx, 0)]
+        dT = umeyama(src_t, jnp.where(ok[:, None], q, src_t), w)
+        n_ok = jnp.maximum(jnp.sum(w), 1.0)
+        rmse = jnp.sqrt(jnp.sum(jnp.where(ok, dist * dist, 0.0)) / n_ok)
+        fitness = jnp.sum(w) / jnp.maximum(jnp.sum(src_mask.astype(jnp.float32)), 1.0)
+        return dT, rmse, fitness
+
+    def body(state):
+        T, prev_rmse, prev_fit, it, _ = state
+        dT, rmse, fit = corr_and_update(T)
+        T_new = dT @ T
+        converged = (
+            (jnp.abs(prev_fit - fit) < 1e-6 * jnp.maximum(prev_fit, 1e-12))
+            & (jnp.abs(prev_rmse - rmse) < 1e-6 * jnp.maximum(prev_rmse, 1e-12))
+        )
+        return T_new, rmse, fit, it + 1, converged
+
+    def cond(state):
+        _, _, _, it, converged = state
+        return (it < max_iter) & ~converged
+
+    T0 = init_T.astype(jnp.float32)
+    state = (T0, jnp.float32(1e30), jnp.float32(0.0), jnp.int32(0), jnp.bool_(False))
+    T, rmse, fit, it, _ = jax.lax.while_loop(cond, body, state)
+    return T, rmse, fit, it
+
+
+def icp_point_to_point(
+    src: jnp.ndarray,
+    tgt: jnp.ndarray,
+    init_T: jnp.ndarray,
+    max_corr: float = 0.2,
+    max_iter: int = 200,
+    src_mask: jnp.ndarray | None = None,
+    tgt_mask: jnp.ndarray | None = None,
+    budget: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Refine init_T with point-to-point ICP. Returns (T, rmse, fitness)."""
+    if src_mask is None:
+        src_mask = jnp.ones((src.shape[0],), bool)
+    if tgt_mask is None:
+        tgt_mask = jnp.ones((tgt.shape[0],), bool)
+    grid = build_grid(tgt, tgt_mask, cell=max_corr)
+    arrays = (grid.points, grid.mask, grid.order, grid.cell_table, grid.start,
+              grid.count, None)
+    T, rmse, fit, _ = _icp_loop(src, src_mask, arrays, init_T,
+                                float(max_corr), int(max_iter), int(budget))
+    return T, rmse, fit

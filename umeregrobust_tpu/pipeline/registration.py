@@ -1,0 +1,170 @@
+"""End-to-end per-pair registration: the flagship pipeline.
+
+Mirrors the reference eval flow (evaluate.py:175-301) as jittable stages
+over fixed-size padded inputs:
+
+  1. sample keypoints uniformly from each (SEM-voxelized) cloud
+     (evaluate.py:195-204),
+  2. fused UME moment matrices around them (my_ume_generation,
+     evaluate.py:50-60, normalized),
+  3. streaming argmin subspace-distance matching (evaluate.py:214-225),
+  4. probabilistic match filter ~ exp((1-d)/tau) (evaluate.py:233-245),
+  5. one closed-form transform hypothesis per match (evaluate.py:247-257),
+  6. kernel-correlation hypothesis selection on the raw clouds, with
+     network features copied to raw points by 1-NN (evaluate.py:259-296),
+  7. point-to-point ICP refinement (refine_registration, evaluate.py:63-109).
+
+Everything from step 1 to 6 runs in a single jit per pair; ICP is a second
+jit (different point capacities).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from umeregrobust_tpu.core.ume import estimate_rigid_from_ume
+from umeregrobust_tpu.ops.neighbors import knn
+from umeregrobust_tpu.pipeline.correlator import select_best_transform
+from umeregrobust_tpu.pipeline.icp import icp_point_to_point
+from umeregrobust_tpu.pipeline.matching import argmin_match, probabilistic_match_filter
+from umeregrobust_tpu.pipeline.ume_gen import ume_from_ball_query
+
+__all__ = ["RegistrationConfig", "register_pair_features", "copy_features_to_raw"]
+
+
+@dataclass(frozen=True)
+class RegistrationConfig:
+    """Knobs, defaulted to configs/benchmarks/test_kitti_config.yaml."""
+
+    ume_r_nn: float = 5.0  # ume_r_nn
+    ume_max_nn: int = 750  # ume_max_nn
+    ume_n_samples: int = 2500  # hypotheses kept after the filter
+    num_init_keypoints: int = 10000  # evaluate.py:196 when filtering
+    filter_by_ume_dist: bool = True
+    tau: float = 0.05
+    corr_kernel_sigma: float = 1.5
+    corr_knn: int = 20
+    corr_var_knn: int = 50
+    corr_coarse_src: Optional[int] = 1024  # None => exact single-stage
+    corr_rescore_top: int = 64
+    icp_max_corr: float = 0.2
+    icp_max_iter: int = 200
+
+
+class RegistrationResult(NamedTuple):
+    T_init: jnp.ndarray  # (4,4) correlator-selected hypothesis
+    T_refined: jnp.ndarray  # (4,4) after ICP
+    icp_rmse: jnp.ndarray
+    icp_fitness: jnp.ndarray
+
+
+def _sample_keypoints(key, pts, mask, n):
+    p = mask.astype(jnp.float32)
+    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    idx = jax.random.choice(key, pts.shape[0], (n,), replace=False, p=p)
+    return pts[idx], idx
+
+
+def copy_features_to_raw(
+    raw_pts: jnp.ndarray,
+    raw_mask: jnp.ndarray,
+    sem_pts: jnp.ndarray,
+    sem_feat: jnp.ndarray,
+    sem_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """1-NN feature transfer from SEM grid points to raw correlator points
+    (reference evaluate.py:272-275)."""
+    _, idx = knn(raw_pts, sem_pts, K=1, q_mask=raw_mask, p_mask=sem_mask)
+    return sem_feat[idx[:, 0]] * raw_mask[:, None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg",),
+)
+def _hypotheses_and_select(
+    cfg: RegistrationConfig,
+    key: jax.Array,
+    src_pts, src_feat, src_mask,
+    tgt_pts, tgt_feat, tgt_mask,
+    corr_src_pts, corr_src_feat, corr_src_mask,
+    corr_tgt_pts, corr_tgt_feat, corr_tgt_mask,
+):
+    k_src, k_tgt, k_filt, k_corr = jax.random.split(key, 4)
+
+    n_init = cfg.num_init_keypoints if cfg.filter_by_ume_dist else cfg.ume_n_samples
+    src_kp, _ = _sample_keypoints(k_src, src_pts, src_mask, n_init)
+    tgt_kp, _ = _sample_keypoints(k_tgt, tgt_pts, tgt_mask, n_init)
+
+    ume_src = ume_from_ball_query(
+        src_pts, src_feat, src_kp, radius=cfg.ume_r_nn, max_nn=cfg.ume_max_nn,
+        p_mask=src_mask, normalize=True)
+    ume_tgt = ume_from_ball_query(
+        tgt_pts, tgt_feat, tgt_kp, radius=cfg.ume_r_nn, max_nn=cfg.ume_max_nn,
+        p_mask=tgt_mask, normalize=True)
+
+    m, d = argmin_match(ume_src, ume_tgt)
+
+    if cfg.filter_by_ume_dist:
+        keep = probabilistic_match_filter(k_filt, d, cfg.ume_n_samples, cfg.tau)
+    else:
+        keep = jnp.arange(cfg.ume_n_samples, dtype=jnp.int32)
+
+    G = ume_src[keep]  # matched source UMEs
+    H = ume_tgt[m[keep]]  # matched target UMEs
+    # reference call order: G=src, H=tgt -> T maps src into tgt
+    Ts, _ = estimate_rigid_from_ume(G, H)
+
+    best_T, scores = select_best_transform(
+        corr_src_pts, corr_src_feat, corr_src_mask,
+        corr_tgt_pts, corr_tgt_feat, corr_tgt_mask,
+        Ts, sigma=cfg.corr_kernel_sigma, knn_k=cfg.corr_knn,
+        var_knn=cfg.corr_var_knn, coarse_src=cfg.corr_coarse_src,
+        rescore_top=cfg.corr_rescore_top, key=k_corr)
+    return best_T, Ts, scores
+
+
+def register_pair_features(
+    cfg: RegistrationConfig,
+    key: jax.Array,
+    src_pts: jnp.ndarray, src_feat: jnp.ndarray, src_mask: jnp.ndarray,
+    tgt_pts: jnp.ndarray, tgt_feat: jnp.ndarray, tgt_mask: jnp.ndarray,
+    corr_src_pts: jnp.ndarray, corr_src_feat: jnp.ndarray, corr_src_mask: jnp.ndarray,
+    corr_tgt_pts: jnp.ndarray, corr_tgt_feat: jnp.ndarray, corr_tgt_mask: jnp.ndarray,
+    raw_src_pts: Optional[jnp.ndarray] = None,
+    raw_src_mask: Optional[jnp.ndarray] = None,
+    raw_tgt_pts: Optional[jnp.ndarray] = None,
+    raw_tgt_mask: Optional[jnp.ndarray] = None,
+    run_icp: bool = True,
+) -> RegistrationResult:
+    """Register a pair given per-voxel features (from the coloring model).
+
+    src/tgt_*:    SEM-grid points + features (the UME/matching stage).
+    corr_*:       correlator clouds (raw points downsampled, features
+                  already copied; see copy_features_to_raw).
+    raw_*:        full-resolution clouds for ICP (defaults to corr points).
+    """
+    best_T, _, _ = _hypotheses_and_select(
+        cfg, key,
+        src_pts, src_feat, src_mask, tgt_pts, tgt_feat, tgt_mask,
+        corr_src_pts, corr_src_feat, corr_src_mask,
+        corr_tgt_pts, corr_tgt_feat, corr_tgt_mask)
+
+    if raw_src_pts is None:
+        raw_src_pts, raw_src_mask = corr_src_pts, corr_src_mask
+    if raw_tgt_pts is None:
+        raw_tgt_pts, raw_tgt_mask = corr_tgt_pts, corr_tgt_mask
+
+    if run_icp:
+        T_ref, rmse, fit = icp_point_to_point(
+            raw_src_pts, raw_tgt_pts, best_T,
+            max_corr=cfg.icp_max_corr, max_iter=cfg.icp_max_iter,
+            src_mask=raw_src_mask, tgt_mask=raw_tgt_mask)
+    else:
+        T_ref, rmse, fit = best_T, jnp.float32(0.0), jnp.float32(0.0)
+    return RegistrationResult(
+        T_init=best_T, T_refined=T_ref, icp_rmse=rmse, icp_fitness=fit)
