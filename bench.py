@@ -1,0 +1,150 @@
+"""Benchmark driver: full-pipeline registration throughput + recall.
+
+Runs the complete flagship path on synthetic structured LiDAR scenes (the
+shippable stand-in for KITTI: the real datasets/checkpoints are not
+present in this environment): SEM equalization -> voxelize -> ResUNetSmall2
+features (bf16 backbone) -> fused UME generation -> streaming argmin
+matching -> closed-form hypotheses -> two-stage kernel-correlation
+selection -> ICP refinement. Reports steady-state registered pairs/sec on
+one chip plus the strict-precision recall achieved on the synthetic pairs.
+
+Prints ONE JSON line:
+  {"metric": "reg_pairs_per_sec", "value": ..., "unit": "pairs/s",
+   "vs_baseline": value / 50.0}
+(baseline: the 50 pairs/sec/chip north star from BASELINE.md; recall and
+timing details go to stderr).
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from umeregrobust_tpu.core.transforms import relative_rotation_error
+    from umeregrobust_tpu.data.sem import SEMConfig, equalize_sampling
+    from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair
+    from umeregrobust_tpu.models.resunet import (
+        ARCHS, build_unet_geometry, init_resunet, resunet_apply)
+    from umeregrobust_tpu.ops.voxel import coords_to_grid_pts_np, quantize_np
+    from umeregrobust_tpu.pipeline.registration import (
+        RegistrationConfig, register_pair_features)
+
+    log(f"devices: {jax.devices()}")
+    SEM_CAP = 16384
+    CORR_CAP = 4096
+    N_PAIRS = 6
+    arch = ARCHS["ResUNetSmall2"]
+    caps = (SEM_CAP, 12288, 6144, 3072, 1024)
+    params, state = init_resunet(jax.random.PRNGKey(0), arch, 1, 32)
+    cfg = RegistrationConfig(
+        num_init_keypoints=2048, ume_n_samples=512,
+        corr_coarse_src=1024, corr_rescore_top=32,
+        icp_max_corr=0.4, icp_max_iter=60)
+
+    def prep_pair(seed):
+        pair = make_pair(SceneConfig(extent=25.0, ground_points=12000,
+                                     structure_points=24000, seed=seed),
+                         max_rotation_deg=120, max_translation=8.0, seed=seed)
+        out = {"gt": pair["gt_tform"]}
+        for tag, pts, seg in [("src", pair["src_pts"], pair["src_seg"]),
+                              ("tgt", pair["tgt_pts"], pair["tgt_seg"])]:
+            ep, es = equalize_sampling(pts, seg, SEMConfig(num_points=50000,
+                                                           seed=seed))
+            keep = es != 0
+            ep, es = ep[keep], es[keep]
+            coords, sel = quantize_np(ep, 0.3)
+            grid = coords_to_grid_pts_np(ep, coords, 0.3)
+            es = es[sel]
+            n = min(len(grid), SEM_CAP)
+            pick = (np.random.default_rng(seed).choice(len(grid), n, replace=False)
+                    if len(grid) > SEM_CAP else np.arange(n))
+            c4 = np.full((SEM_CAP, 4), 2**20, np.int32)
+            c4[:n, 0] = 0
+            c4[:n, 1:] = coords[pick]
+            g = np.zeros((SEM_CAP, 3), np.float32)
+            g[:n] = grid[pick]
+            s = np.zeros(SEM_CAP, np.int32)
+            s[:n] = es[pick]
+            m = np.arange(SEM_CAP) < n
+            ci = np.random.default_rng(seed + 1).choice(
+                len(pts), min(len(pts), CORR_CAP), replace=False)
+            cp = np.zeros((CORR_CAP, 3), np.float32)
+            cp[: len(ci)] = pts[ci]
+            cm = np.arange(CORR_CAP) < len(ci)
+            out[tag] = dict(coords=jnp.asarray(c4), grid=jnp.asarray(g),
+                            seg=jnp.asarray(s), mask=jnp.asarray(m),
+                            corr_pts=jnp.asarray(cp), corr_mask=jnp.asarray(cm))
+        return out
+
+    def run_pair(p, key):
+        from umeregrobust_tpu.pipeline.registration import copy_features_to_raw
+        feats = {}
+        for tag in ("src", "tgt"):
+            geom = build_unet_geometry(p[tag]["coords"], p[tag]["mask"], arch, caps)
+            fin = jnp.ones((SEM_CAP, 1)) * p[tag]["mask"][:, None]
+            feats[tag], _ = resunet_apply(params, state, geom, fin, arch,
+                                          compute_dtype=jnp.bfloat16)
+        cf = {}
+        for tag in ("src", "tgt"):
+            cf[tag] = copy_features_to_raw(
+                p[tag]["corr_pts"], p[tag]["corr_mask"],
+                p[tag]["grid"], feats[tag], p[tag]["mask"])
+        res = register_pair_features(
+            cfg, key,
+            p["src"]["grid"], feats["src"], p["src"]["mask"],
+            p["tgt"]["grid"], feats["tgt"], p["tgt"]["mask"],
+            p["src"]["corr_pts"], cf["src"], p["src"]["corr_mask"],
+            p["tgt"]["corr_pts"], cf["tgt"], p["tgt"]["corr_mask"])
+        return res.T_refined
+
+    pairs = [prep_pair(100 + i) for i in range(N_PAIRS)]
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    t0 = time.time()
+    T = run_pair(pairs[0], key)
+    T.block_until_ready()
+    log(f"compile+first pair: {time.time()-t0:.1f}s")
+
+    times, rres, rtes = [], [], []
+    for i, p in enumerate(pairs):
+        key, k = jax.random.split(key)
+        t0 = time.time()
+        T = run_pair(p, k)
+        T.block_until_ready()
+        times.append(time.time() - t0)
+        T = np.asarray(T)
+        rre = float(relative_rotation_error(
+            jnp.asarray(p["gt"][None, :3, :3]), jnp.asarray(T[None, :3, :3]))[0])
+        rte = float(np.linalg.norm(T[:3, 3] - p["gt"][:3, 3]))
+        rres.append(rre)
+        rtes.append(rte)
+        log(f"pair {i}: {times[-1]:.2f}s RRE={rre:.3f} RTE={rte:.3f}")
+
+    rres, rtes = np.asarray(rres), np.asarray(rtes)
+    sp = float(((rres <= 1.0) & (rtes <= 0.1)).mean())
+    pps = 1.0 / float(np.mean(times))
+    log(f"SP recall (synthetic, untrained features): {100*sp:.1f}% | "
+        f"{pps:.3f} pairs/s")
+    print(json.dumps({
+        "metric": "reg_pairs_per_sec",
+        "value": round(pps, 4),
+        "unit": "pairs/s",
+        "vs_baseline": round(pps / 50.0, 5),
+    }))
+
+
+if __name__ == "__main__":
+    main()

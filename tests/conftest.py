@@ -6,7 +6,6 @@ These env vars must be set before jax is first imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +15,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# Force CPU via jax.config: the ambient sitecustomize imports jax and pins
+# JAX_PLATFORMS to the TPU platform before conftest runs, so mutating
+# os.environ here is too late — the config update is not.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402

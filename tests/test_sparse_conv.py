@@ -67,7 +67,9 @@ class TestSelfConv:
         W = jnp.zeros((27, 4, 3))
         b = jnp.array([1.0, 2.0, 3.0])
         out = np.asarray(sparse_conv(feats, W, nbr, bias=b))
-        np.testing.assert_allclose(out[np.asarray(mask)], [1.0, 2.0, 3.0])
+        valid = out[np.asarray(mask)]
+        np.testing.assert_allclose(
+            valid, np.tile([[1.0, 2.0, 3.0]], (len(valid), 1)))
 
 
 class TestStridedConv:

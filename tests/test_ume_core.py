@@ -123,7 +123,8 @@ class TestEstimator:
         T_est, D = estimate_rigid_from_ume(jnp.stack(Gs), jnp.stack(Hs))
         rre = relative_rotation_error(T_gt[None, :3, :3], T_est[:, :3, :3])
         rte = relative_translation_error(T_gt[None, :3, 3], T_est[:, :3, 3])
-        assert np.all(np.asarray(rre) < 1e-2), np.asarray(rre)
+        # acos near trace=3 is fp32-ill-conditioned: ~0.05 deg noise floor
+        assert np.all(np.asarray(rre) < 0.1), np.asarray(rre)
         assert np.all(np.asarray(rte) < 1e-3), np.asarray(rte)
         assert np.all(np.asarray(D) < 1e-3)
 

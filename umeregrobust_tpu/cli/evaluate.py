@@ -1,0 +1,276 @@
+"""Benchmark evaluation CLI — the flagship entry point.
+
+Equivalent of reference evaluate.py:113-310:
+
+    python -m umeregrobust_tpu.cli.evaluate --benchmark kitti_test
+    python -m umeregrobust_tpu.cli.evaluate --benchmark rotkitti --set corr_ds=0.5
+    python -m umeregrobust_tpu.cli.evaluate --synthetic 50   # no dataset needed
+
+Per pair: SEM-cached clouds feed the coloring network; UME keypoint
+matching generates transform hypotheses; the kernel correlator scores them
+on the raw clouds (src quantized at corr_ds, tgt at 0.3 — the reference's
+hardcoded asymmetry, evaluate.py:261-264 — with network features copied by
+1-NN); ICP refines the winner. Prints NP = (RRE<=1.5deg & RTE<=0.6m) and
+SP = (RRE<=1deg & RTE<=0.1m) recall (evaluate.py:304-305; NP translation
+threshold is the code's 0.6 m, not the README's 30 cm).
+
+TPU design: every pair is padded to the config's static capacities so the
+whole hypothesize-and-select stage is one compiled program; pairs stream
+through the single compilation.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from types import SimpleNamespace
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from umeregrobust_tpu.core.transforms import relative_rotation_error
+from umeregrobust_tpu.models.resunet import (
+    ARCHS,
+    build_unet_geometry,
+    init_resunet,
+    resunet_apply,
+)
+from umeregrobust_tpu.ops.voxel import quantize_np
+from umeregrobust_tpu.pipeline.registration import (
+    RegistrationConfig,
+    copy_features_to_raw,
+    register_pair_features,
+)
+from umeregrobust_tpu.utils.config import apply_overrides, update_namespace_from_yaml
+
+BENCHMARK_CONFIGS = {
+    "kitti_test": "benchmarks/test_kitti_config.yaml",
+    "lokitti": "benchmarks/lokitti_config.yaml",
+    "rotkitti": "benchmarks/rotkitti_config.yaml",
+    "nuscenes_test": "benchmarks/test_nuscenes_config.yaml",
+    "lonuscenes": "benchmarks/lonuscenes_config.yaml",
+    "rotnuscenes": "benchmarks/rotnuscenes_config.yaml",
+}
+
+_CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def _pad_cloud(pts, seg, coords, cap):
+    n = min(len(pts), cap)
+    sel = np.arange(len(pts))
+    if len(pts) > cap:
+        sel = np.random.choice(len(pts), cap, replace=False)
+    c4 = np.full((cap, 4), 2**20, np.int32)
+    c4[:n, 0] = 0
+    c4[:n, 1:] = coords[sel[:n]]
+    p = np.zeros((cap, 3), np.float32)
+    p[:n] = pts[sel[:n]]
+    s = np.zeros((cap,), np.int32)
+    s[:n] = seg[sel[:n]]
+    mask = np.arange(cap) < n
+    return p, s, c4, mask
+
+
+def _registration_cfg(args) -> RegistrationConfig:
+    return RegistrationConfig(
+        ume_r_nn=float(args.ume_r_nn),
+        ume_max_nn=int(args.ume_max_nn),
+        ume_n_samples=int(args.ume_n_samples),
+        num_init_keypoints=10000 if args.filter_by_ume_dist_cond
+        else int(args.ume_n_samples),
+        filter_by_ume_dist=bool(args.filter_by_ume_dist_cond),
+        tau=float(args.tau),
+        corr_kernel_sigma=float(args.corr_kernel_sigma),
+        corr_coarse_src=int(getattr(args, "corr_coarse_src", 1024)) or None,
+        corr_rescore_top=int(getattr(args, "corr_rescore_top", 64)),
+        icp_max_corr=float(getattr(args, "icp_max_corr", 0.2)),
+        icp_max_iter=int(getattr(args, "icp_max_iter", 200)),
+    )
+
+
+def _load_model(args):
+    arch = ARCHS["ResUNetSmall2"]
+    path = getattr(args, "model_checkpoint_path", "")
+    if path and os.path.exists(path):
+        if path.endswith((".pth", ".pt")):
+            from umeregrobust_tpu.models.convert import load_torch_checkpoint
+            params, state = load_torch_checkpoint(path)
+        else:
+            from umeregrobust_tpu.train.checkpoint import load_checkpoint
+            blob = load_checkpoint(path)
+            params, state = blob["params"], blob["bn_state"]
+        print(f"loaded checkpoint: {path}")
+    else:
+        print(f"checkpoint {path!r} not found -> random init (smoke mode)")
+        params, state = init_resunet(jax.random.PRNGKey(0), arch, 1,
+                                     int(args.out_ch))
+    return arch, params, state
+
+
+def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
+    """Core loop over (sem_src, sem_tgt, raw_src, raw_tgt, gt) dicts."""
+    arch, params, state = _load_model(args)
+    reg_cfg = _registration_cfg(args)
+    sem_cap = int(args.max_pc_size)
+    corr_cap = int(args.pc_corr_max_size)
+    caps = tuple(int(-(-int(sem_cap * r) // 128) * 128)
+                 for r in (1.0, 0.75, 0.4, 0.2, 0.08))
+
+    def features_for(coords4, mask):
+        geom = build_unet_geometry(jnp.asarray(coords4), jnp.asarray(mask),
+                                   arch, caps)
+        fin = jnp.ones((sem_cap, 1), jnp.float32) * jnp.asarray(mask)[:, None]
+        out, _ = resunet_apply(params, state, geom, fin, arch, train=False,
+                               compute_dtype=jnp.bfloat16)
+        return out
+
+    rre_list, rte_list, times = [], [], []
+    key = jax.random.PRNGKey(int(args.seed))
+    for i, pair in enumerate(pair_iter):
+        t0 = time.time()
+        key, k_pair = jax.random.split(key)
+        sp, ss, sc, sm = _pad_cloud(*pair["sem_src"], sem_cap)
+        tp, ts_, tc, tm = _pad_cloud(*pair["sem_tgt"], sem_cap)
+        src_feat = features_for(sc, sm)
+        tgt_feat = features_for(tc, tm)
+
+        # correlator clouds: src @ corr_ds, tgt @ 0.3 (reference hardcode)
+        def corr_prep(raw_pts, q):
+            _, sel = quantize_np(raw_pts, q)
+            p = raw_pts[sel]
+            if len(p) > corr_cap:
+                p = p[np.random.choice(len(p), corr_cap, replace=False)]
+            buf = np.zeros((corr_cap, 3), np.float32)
+            buf[: len(p)] = p
+            m = np.arange(corr_cap) < len(p)
+            return jnp.asarray(buf), jnp.asarray(m)
+
+        cs_p, cs_m = corr_prep(pair["raw_src"], float(args.corr_ds))
+        ct_p, ct_m = corr_prep(pair["raw_tgt"], 0.3)
+        cs_f = copy_features_to_raw(cs_p, cs_m, jnp.asarray(sp), src_feat,
+                                    jnp.asarray(sm))
+        ct_f = copy_features_to_raw(ct_p, ct_m, jnp.asarray(tp), tgt_feat,
+                                    jnp.asarray(tm))
+
+        res = register_pair_features(
+            reg_cfg, k_pair,
+            jnp.asarray(sp), src_feat, jnp.asarray(sm),
+            jnp.asarray(tp), tgt_feat, jnp.asarray(tm),
+            cs_p, cs_f, cs_m, ct_p, ct_f, ct_m)
+        T = np.asarray(res.T_refined)
+        gt = pair["gt_tform"]
+        rre = float(relative_rotation_error(
+            jnp.asarray(gt[None, :3, :3]), jnp.asarray(T[None, :3, :3]))[0])
+        rte = float(np.linalg.norm(T[:3, 3] - gt[:3, 3]))
+        rre_list.append(rre)
+        rte_list.append(rte)
+        times.append(time.time() - t0)
+        if (i + 1) % 10 == 0 or i == n_pairs - 1:
+            rr = np.asarray(rre_list)
+            tt = np.asarray(rte_list)
+            np_r = float(((rr <= 1.5) & (tt <= 0.6)).mean())
+            sp_r = float(((rr <= 1.0) & (tt <= 0.1)).mean())
+            print(f"[{i+1}/{n_pairs}] NP={100*np_r:.2f} SP={100*sp_r:.2f} "
+                  f"mRRE={rr.mean():.3f} mRTE={tt.mean():.3f} "
+                  f"({np.mean(times[1:] or times):.2f}s/pair)", flush=True)
+
+    rr = np.asarray(rre_list)
+    tt = np.asarray(rte_list)
+    return {
+        "np_recall": float(((rr <= 1.5) & (tt <= 0.6)).mean()),
+        "sp_recall": float(((rr <= 1.0) & (tt <= 0.1)).mean()),
+        "mean_rre": float(rr.mean()),
+        "mean_rte": float(tt.mean()),
+        "pairs_per_sec": float(1.0 / np.mean(times[1:] or times)),
+        "n_pairs": len(rr),
+    }
+
+
+def _dataset_pair_iter(args):
+    from umeregrobust_tpu.data.datasets import NuscenesDataset, SemanticKITTIDataset
+
+    cls = SemanticKITTIDataset if args.dataset == "kitti" else NuscenesDataset
+    dset = cls(data_path=args.data_path, split=args.split,
+               cache_data_path=args.cache_data_path,
+               skip_invalid_entries=args.skip_invalid_entries_flag)
+    dset_raw = cls(data_path=args.data_path, split=args.split,
+                   cache_data_path=args.cache_data_path,
+                   convert_points_to_grid=False,
+                   skip_invalid_entries=args.skip_invalid_entries_flag,
+                   override_cache=bool(args.corr_no_nksr))
+
+    def it():
+        for i in range(len(dset)):
+            (sp, ss, _, tp, ts_, _, _, gt, _) = dset[i]
+            (rsp, _, _, rtp, _, _, _, _, _) = dset_raw[i]
+            sc, _ = quantize_np(sp, 0.3)
+            tc, _ = quantize_np(tp, 0.3)
+            yield {
+                "sem_src": (sp, ss, sc), "sem_tgt": (tp, ts_, tc),
+                "raw_src": rsp, "raw_tgt": rtp, "gt_tform": gt,
+            }
+
+    return it(), len(dset)
+
+
+def _synthetic_pair_iter(args, n: int):
+    from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair
+    from umeregrobust_tpu.data.sem import SEMConfig, equalize_sampling
+
+    def it():
+        for i in range(n):
+            pair = make_pair(
+                SceneConfig(extent=30.0, seed=int(args.seed) + i),
+                max_rotation_deg=120, max_translation=8.0, seed=int(args.seed) + i)
+            sems = []
+            for pts, seg in [(pair["src_pts"], pair["src_seg"]),
+                             (pair["tgt_pts"], pair["tgt_seg"])]:
+                ep, es = equalize_sampling(pts, seg,
+                                           SEMConfig(num_points=60000))
+                keep = es != 0
+                ep, es = ep[keep], es[keep]
+                coords, sel = quantize_np(ep, 0.3)
+                from umeregrobust_tpu.ops.voxel import coords_to_grid_pts_np
+                grid = coords_to_grid_pts_np(ep, coords, 0.3)
+                sems.append((grid, es[sel], coords))
+            yield {
+                "sem_src": sems[0], "sem_tgt": sems[1],
+                "raw_src": pair["src_pts"], "raw_tgt": pair["tgt_pts"],
+                "gt_tform": pair["gt_tform"],
+            }
+
+    return it(), n
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--benchmark", choices=sorted(BENCHMARK_CONFIGS),
+                        default="kitti_test")
+    parser.add_argument("--synthetic", type=int, default=0,
+                        help="evaluate N synthetic pairs instead of a dataset")
+    parser.add_argument("--set", action="append", default=[],
+                        help="override config keys: --set key=value")
+    args = parser.parse_args(argv)
+    cfg_path = os.path.join(_CFG_DIR, BENCHMARK_CONFIGS[args.benchmark])
+    args = update_namespace_from_yaml(args, cfg_path)
+    args = apply_overrides(args, args.set)
+    np.random.seed(int(args.seed))
+    print(f"Evaluate {args.dataset} benchmark: {args.benchmark}")
+
+    if args.synthetic:
+        pair_iter, n = _synthetic_pair_iter(args, args.synthetic)
+    else:
+        pair_iter, n = _dataset_pair_iter(args)
+    results = evaluate_pairs(args, pair_iter, n)
+    print(f"Evaluate {args.dataset} Benchmark: {args.benchmark} Results:")
+    print(f"N.P: {100 * results['np_recall']:.03f} | "
+          f"S.P: {100 * results['sp_recall']:.03f}")
+    print(f"mRRE: {results['mean_rre']:.03f} | mRTE: {results['mean_rte']:.03f}")
+    print(f"throughput: {results['pairs_per_sec']:.3f} pairs/sec")
+    return results
+
+
+if __name__ == "__main__":
+    main()

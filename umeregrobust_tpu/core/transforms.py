@@ -35,10 +35,19 @@ def make_transform(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_transform(T: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
-    """Apply (...,4,4) rigid transform to (...,N,3) points: R @ p + t."""
+    """Apply (...,4,4) rigid transform to (...,N,3) points: R @ p + t.
+
+    Full-precision matmul: bf16 MXU passes would inject cm-scale noise into
+    coordinates (see ops/precision.py).
+    """
     R = T[..., :3, :3]
     t = T[..., :3, 3]
-    return pts @ jnp.swapaxes(R, -1, -2) + t[..., None, :]
+    return (
+        jnp.matmul(pts, jnp.swapaxes(R, -1, -2),
+                   precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+        + t[..., None, :]
+    )
 
 
 def invert_rigid(T: jnp.ndarray) -> jnp.ndarray:

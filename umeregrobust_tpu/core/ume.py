@@ -66,7 +66,8 @@ def moment_matrix(
         nn_pts = nn_pts * m
         nn_feat = nn_feat * m
     ftr = jnp.swapaxes(nn_feat, -1, -2)  # (..., C, K)
-    F1 = jnp.matmul(ftr, nn_pts, preferred_element_type=jnp.float32)  # (..., C, 3)
+    F1 = jnp.matmul(ftr, nn_pts, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)  # (..., C, 3)
     F0 = jnp.sum(ftr, axis=-1, keepdims=True)  # (..., C, 1)
     F = jnp.concatenate([F0, F1], axis=-1)  # (..., C, 4)
     if normalize:
@@ -84,7 +85,9 @@ def orthonormalize(F: jnp.ndarray) -> jnp.ndarray:
 def subspace_projection(F: jnp.ndarray) -> jnp.ndarray:
     """Projection matrix P = Q Q^T onto the column space of F. (..., d, d)."""
     Q = orthonormalize(F)
-    return jnp.matmul(Q, jnp.swapaxes(Q, -1, -2), preferred_element_type=jnp.float32)
+    return jnp.matmul(Q, jnp.swapaxes(Q, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
 
 
 def ume_pairwise_distance(
@@ -99,7 +102,8 @@ def ume_pairwise_distance(
     P2 = subspace_projection(ume2).reshape(ume2.shape[0], -1)  # (N, d*d)
     sq1 = jnp.sum(P1 * P1, axis=-1)  # (M,)
     sq2 = jnp.sum(P2 * P2, axis=-1)  # (N,)
-    cross = jnp.matmul(P1, P2.T, preferred_element_type=jnp.float32)  # (M, N)
+    cross = jnp.matmul(P1, P2.T, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)  # (M, N)
     d2 = jnp.maximum(sq1[:, None] + sq2[None, :] - 2.0 * cross, 0.0)
     return jnp.sqrt(d2) / jnp.sqrt(2.0)
 
@@ -147,14 +151,15 @@ def estimate_rigid_from_ume(
     left = g - wlc * mg  # (B,d,3) centered first moments
     right = h - wrc * mh
 
-    M = jnp.swapaxes(right, -1, -2) @ left  # (B,3,3)
+    M = jnp.matmul(jnp.swapaxes(right, -1, -2), left,
+                   precision=jax.lax.Precision.HIGHEST)  # (B,3,3)
     U, _, VH = jnp.linalg.svd(jnp.swapaxes(M, -1, -2))
-    det = jnp.linalg.det(U @ VH)
-    Q = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), M.shape).copy()
-    Q = Q.at[..., 2, 2].set(jnp.sign(det))
-    R = U @ Q @ VH  # (B,3,3)
-
-    b2 = wrc - wlc @ R  # (B,1,3) translation row
+    with jax.default_matmul_precision("highest"):
+        det = jnp.linalg.det(U @ VH)
+        Q = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), M.shape).copy()
+        Q = Q.at[..., 2, 2].set(jnp.sign(det))
+        R = U @ Q @ VH  # (B,3,3)
+        b2 = wrc - wlc @ R  # (B,1,3) translation row
 
     D = ume_distance(H, G)  # 0.707 * |P_H - P_G|_F (sqrt(2)/2 == 0.707...)
 

@@ -40,7 +40,8 @@ def pairwise_sqdist(q: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     p = p.astype(jnp.float32)
     qq = jnp.sum(q * q, axis=-1)
     pp = jnp.sum(p * p, axis=-1)
-    cross = jnp.matmul(q, p.T, preferred_element_type=jnp.float32)
+    cross = jnp.matmul(q, p.T, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
     return jnp.maximum(qq[:, None] + pp[None, :] - 2.0 * cross, 0.0)
 
 

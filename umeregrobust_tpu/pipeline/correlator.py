@@ -114,7 +114,7 @@ def correlator_scores(
 
         def chunk_step(acc, xs):
             p, f, m = xs
-            p_t = p @ R.T + t
+            p_t = jnp.matmul(p, R.T, precision=jax.lax.Precision.HIGHEST) + t
             d2 = pairwise_sqdist(p_t, tgt_pts) + tgt_d2_mask[None, :]
             neg_d2, idx = jax.lax.top_k(-d2, knn_k)  # (chunk, K)
             d = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))

@@ -30,19 +30,24 @@ def umeyama(
     p, q: (N, 3); w: (N,) nonnegative weights (0 for non-correspondences).
     Returns (4, 4).
     """
-    wsum = jnp.maximum(jnp.sum(w), 1e-9)
-    wn = (w / wsum)[:, None]
-    cp = jnp.sum(p * wn, axis=0)
-    cq = jnp.sum(q * wn, axis=0)
-    pc = (p - cp) * wn
-    qc = q - cq
-    H = pc.T @ qc  # (3,3)
-    U, _, VT = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(VT.T @ U.T))
-    S = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
-    R = VT.T @ S @ U.T
-    t = cq - R @ cp
-    return make_transform(R, t)
+    return _umeyama_hp(p, q, w)
+
+
+def _umeyama_hp(p, q, w):
+    with jax.default_matmul_precision("highest"):
+        wsum = jnp.maximum(jnp.sum(w), 1e-9)
+        wn = (w / wsum)[:, None]
+        cp = jnp.sum(p * wn, axis=0)
+        cq = jnp.sum(q * wn, axis=0)
+        pc = (p - cp) * wn
+        qc = q - cq
+        H = pc.T @ qc  # (3,3)
+        U, _, VT = jnp.linalg.svd(H)
+        d = jnp.sign(jnp.linalg.det(VT.T @ U.T))
+        S = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
+        R = VT.T @ S @ U.T
+        t = cq - R @ cp
+        return make_transform(R, t)
 
 
 @partial(jax.jit, static_argnames=("max_corr", "max_iter", "budget"))
@@ -50,7 +55,8 @@ def _icp_loop(src, src_mask, grid_arrays, init_T, max_corr, max_iter, budget):
     grid = GridIndex(*grid_arrays[:-1], cell=max_corr)
 
     def corr_and_update(T):
-        src_t = src @ T[:3, :3].T + T[:3, 3]
+        src_t = jnp.matmul(src, T[:3, :3].T,
+                           precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
         dist, idx = nn_query(grid, src_t, radius=max_corr, q_mask=src_mask,
                              budget=budget)
         ok = (idx >= 0) & src_mask
@@ -65,7 +71,8 @@ def _icp_loop(src, src_mask, grid_arrays, init_T, max_corr, max_iter, budget):
     def body(state):
         T, prev_rmse, prev_fit, it, _ = state
         dT, rmse, fit = corr_and_update(T)
-        T_new = dT @ T
+        T_new = jnp.matmul(dT, T,
+                           precision=jax.lax.Precision.HIGHEST)
         converged = (
             (jnp.abs(prev_fit - fit) < 1e-6 * jnp.maximum(prev_fit, 1e-12))
             & (jnp.abs(prev_rmse - rmse) < 1e-6 * jnp.maximum(prev_rmse, 1e-12))

@@ -55,7 +55,8 @@ def argmin_match(
 
     def step(_, xs):
         a, s1 = xs
-        cross = jnp.matmul(a, B.T, preferred_element_type=jnp.float32)
+        cross = jnp.matmul(a, B.T, precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
         dist2 = s1[:, None] + sq2[None, :] - 2.0 * cross
         j = jnp.argmin(dist2, axis=-1).astype(jnp.int32)
         dmin = jnp.take_along_axis(dist2, j[:, None], axis=-1)[:, 0]

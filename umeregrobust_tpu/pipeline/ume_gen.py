@@ -82,7 +82,8 @@ def ume_from_ball_query(
         d2 = (
             jnp.sum(kb * kb, axis=-1)[:, None]
             + pp[None, :]
-            - 2.0 * jnp.matmul(kb, pts.T, preferred_element_type=jnp.float32)
+            - 2.0 * jnp.matmul(kb, pts.T, precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
         )
         ok = d2 <= r2
         if p_valid is not None:
@@ -90,7 +91,8 @@ def ume_from_ball_query(
         # first-max_nn-by-index cap (PyTorch3D ball_query semantics)
         cum = jnp.cumsum(ok.astype(jnp.int32), axis=1)
         w = (ok & (cum <= max_nn)).astype(jnp.float32)
-        Fk = jnp.matmul(w, Z, preferred_element_type=jnp.float32)  # (chunk, 4C)
+        Fk = jnp.matmul(w, Z, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (chunk, 4C)
         if center:
             m0 = Fk[:, :C]
             Fk = Fk.at[:, C:].add(

@@ -1,0 +1,251 @@
+"""Coloring-network training: jitted train/eval steps + epoch driver.
+
+Functional equivalent of reference train_coloring.py:20-207 — pointwise
+InfoNCE + UME-contrastive + cube-registration losses over SEM-cached pairs,
+Adam(lr=1e-4, wd=0), best-metric checkpointing — redesigned TPU-first:
+
+- one jitted train step over a fixed-shape batch (the collate pads to
+  static capacities, so the step compiles exactly once);
+- the whole batch is vmapped per pair: each pair owns its geometry
+  (coordinate pyramid + kernel maps), gradients flow through the
+  gather-GEMM convs; grads are averaged over the batch;
+- data parallelism: shard the batch's leading axis over the 'dp' mesh axis
+  (parallel.mesh.shard_batch); XLA turns the batch-mean of grads into a
+  psum over ICI. Params replicated.
+- BatchNorm: statistics are per pair (vmapped) and the running state is
+  averaged across the batch. The reference normalizes over the whole
+  batch's voxels (ME BN); with ~20k voxels per cloud the two are
+  statistically indistinguishable, and per-pair stats keep the step purely
+  vmapped (no cross-pair hash tables).
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from umeregrobust_tpu.losses import (
+    cube_registration_loss,
+    pointwise_infonce,
+    ume_contrastive_loss,
+)
+from umeregrobust_tpu.models.resunet import (
+    ARCHS,
+    ArchSpec,
+    build_unet_geometry,
+    init_resunet,
+    resunet_apply,
+)
+from umeregrobust_tpu.pipeline.train_keypoints import generate_training_umes
+from umeregrobust_tpu.train.checkpoint import save_checkpoint
+
+__all__ = ["TrainConfig", "Trainer", "make_train_step"]
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Defaults mirror configs/train/train_kitti_config.yaml."""
+
+    arch: str = "ResUNetSmall2"
+    in_channels: int = 1
+    out_channels: int = 32
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    batch_size: int = 8
+    max_pc_size: int = 16384  # static per-pair voxel capacity
+    num_pw_samples: int = 512
+    # UME loss (train_kitti_config.yaml)
+    ume_n_samples: int = 256
+    ume_max_nn: int = 750
+    ume_min_nn: int = 300
+    ume_r_nn: float = 5.0
+    tau: float = 0.1
+    tau_ume: float = 0.1
+    tau_ume_neg: float = 0.1
+    use_ume_loss: bool = True
+    use_reg_loss: bool = True
+    pw_loss_weight: float = 0.5
+    ume_loss_weight: float = 0.5
+    reg_loss_weight: float = 0.25
+    reg_loss_cube_r: float = 30.0
+    reg_loss_intersection_thr: float = 0.75
+    neg_euclid_dist: float = 5.0
+    flat_labels: Tuple[int, ...] = (9,)
+    compute_dtype: str = "bfloat16"
+    level_capacity_ratios: Tuple[float, ...] = (1.0, 0.75, 0.4, 0.2, 0.08)
+
+
+def _capacities(cfg: TrainConfig, arch: ArchSpec) -> Tuple[int, ...]:
+    n0 = cfg.max_pc_size
+    caps = []
+    for r in cfg.level_capacity_ratios[: len(arch.channels)]:
+        caps.append(int(-(-int(n0 * r) // 128) * 128))
+    return tuple(caps)
+
+
+def _pair_losses(params, bn_state, batch_pair, cfg: TrainConfig, arch: ArchSpec,
+                 caps, train: bool):
+    """All losses for ONE pair; vmapped over the batch by the caller."""
+    cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def forward(coords, mask):
+        geom = build_unet_geometry(coords, mask, arch, caps)
+        feats_in = jnp.ones((coords.shape[0], cfg.in_channels), jnp.float32)
+        feats_in = feats_in * mask[:, None]
+        return resunet_apply(params, bn_state, geom, feats_in, arch,
+                             train=train, compute_dtype=cd)
+
+    src_feat, ns1 = forward(batch_pair["src_coords"], batch_pair["src_mask"])
+    tgt_feat, ns2 = forward(batch_pair["tgt_coords"], batch_pair["tgt_mask"])
+    new_state = jax.tree_util.tree_map(lambda a, b: 0.5 * (a + b), ns1, ns2)
+
+    pw = pointwise_infonce(
+        src_feat, batch_pair["src_pts"], tgt_feat,
+        batch_pair["matches"], batch_pair["match_mask"],
+        tau=cfg.tau, neg_euclid_dist=cfg.neg_euclid_dist)
+
+    metrics = {"pointwise_loss": pw}
+    total = cfg.pw_loss_weight * pw
+    if cfg.use_ume_loss:
+        kp = generate_training_umes(
+            batch_pair["src_pts"], batch_pair["src_seg"], src_feat,
+            batch_pair["src_mask"], batch_pair["tgt_pts"], tgt_feat,
+            batch_pair["tgt_mask"], batch_pair["gt_tform"],
+            num_samples=cfg.ume_n_samples, max_nn=cfg.ume_max_nn,
+            min_nn=cfg.ume_min_nn, nn_r=cfg.ume_r_nn,
+            flat_labels=cfg.flat_labels, normalize=True)
+        ume_l, valid = ume_contrastive_loss(
+            kp.src_ume, kp.tgt_ume, kp.kp_mask,
+            tau=cfg.tau_ume, tau_neg=cfg.tau_ume_neg)
+        metrics["ume_loss"] = ume_l
+        metrics["num_keypoints"] = jnp.sum(kp.kp_mask.astype(jnp.float32))
+        total = total + cfg.ume_loss_weight * ume_l
+        if cfg.use_reg_loss:
+            reg_l, rre, rte = cube_registration_loss(
+                kp.src_ume, kp.tgt_ume, valid, batch_pair["gt_tform"],
+                kp.nn_intersection_ratio, cube_scale=cfg.reg_loss_cube_r,
+                nn_inter_ratio_thr=cfg.reg_loss_intersection_thr)
+            metrics["reg_loss"] = reg_l
+            vm = valid.astype(jnp.float32)
+            metrics["rre_median"] = jnp.nanmedian(jnp.where(valid, rre, jnp.nan))
+            metrics["rte_median"] = jnp.nanmedian(jnp.where(valid, rte, jnp.nan))
+            total = total + cfg.reg_loss_weight * reg_l
+    metrics["total_loss"] = total
+    return total, (metrics, new_state)
+
+
+def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation):
+    """Returns a jitted step: (params, bn_state, opt_state, batch) -> ..."""
+    arch = ARCHS[cfg.arch]
+    caps = _capacities(cfg, arch)
+
+    def loss_fn(params, bn_state, batch):
+        f = functools.partial(_pair_losses, params, bn_state, cfg=cfg,
+                              arch=arch, caps=caps, train=True)
+        totals, (metrics, new_states) = jax.vmap(f)(batch)
+        mean_metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+        new_state = jax.tree_util.tree_map(lambda x: jnp.mean(x, axis=0),
+                                           new_states)
+        return jnp.mean(totals), (mean_metrics, new_state)
+
+    @jax.jit
+    def train_step(params, bn_state, opt_state, batch):
+        (loss, (metrics, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, bn_state, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bn, opt_state, metrics
+
+    @jax.jit
+    def eval_step(params, bn_state, batch):
+        f = functools.partial(_pair_losses, params, bn_state, cfg=cfg,
+                              arch=arch, caps=caps, train=False)
+        _, (metrics, _) = jax.vmap(f)(batch)
+        return jax.tree_util.tree_map(jnp.mean, metrics)
+
+    return train_step, eval_step
+
+
+class Trainer:
+    """Epoch driver with best-metric checkpointing (the reference keeps six
+    best-of checkpoints plus last, train_coloring.py:417-437)."""
+
+    BEST_KEYS = (
+        ("total_loss", min), ("pointwise_loss", min), ("ume_loss", min),
+        ("reg_loss", min),
+    )
+
+    def __init__(self, cfg: TrainConfig, out_dir: str, seed: int = 0):
+        self.cfg = cfg
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.arch = ARCHS[cfg.arch]
+        key = jax.random.PRNGKey(seed)
+        self.params, self.bn_state = init_resunet(
+            key, self.arch, cfg.in_channels, cfg.out_channels)
+        self.optimizer = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay) \
+            if cfg.weight_decay else optax.adam(cfg.lr)
+        self.opt_state = self.optimizer.init(self.params)
+        self.train_step, self.eval_step = make_train_step(cfg, self.optimizer)
+        self.epoch = 0
+        self.best = {k: (np.inf if red is min else -np.inf)
+                     for k, red in self.BEST_KEYS}
+        self._log_file = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+        with open(os.path.join(out_dir, "run_config.json"), "w") as f:
+            json.dump({k: str(v) for k, v in cfg.__dict__.items()}, f, indent=2)
+
+    def log(self, tag: str, metrics: Dict[str, Any], step: int):
+        rec = {"tag": tag, "step": step, "time": time.time()}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._log_file.write(json.dumps(rec) + "\n")
+        self._log_file.flush()
+
+    def run_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
+                  train: bool = True, log_every: int = 10) -> Dict[str, float]:
+        acc: Dict[str, float] = {}
+        n = 0
+        for i, batch in enumerate(batches):
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if train:
+                self.params, self.bn_state, self.opt_state, m = self.train_step(
+                    self.params, self.bn_state, self.opt_state, batch)
+            else:
+                m = self.eval_step(self.params, self.bn_state, batch)
+            m = {k: float(v) for k, v in m.items()}
+            for k, v in m.items():
+                acc[k] = acc.get(k, 0.0) + v
+            n += 1
+            if train and (i + 1) % log_every == 0:
+                self.log("train", m, self.epoch * 100000 + i)
+                print(f"[epoch {self.epoch}] it {i+1} " + " ".join(
+                    f"{k}={v:.4f}" for k, v in m.items()), flush=True)
+        mean = {k: v / max(n, 1) for k, v in acc.items()}
+        if not train:
+            self.log("valid", mean, self.epoch)
+        return mean
+
+    def end_epoch(self, valid_metrics: Dict[str, float]):
+        self.epoch += 1  # checkpoints record the number of completed epochs
+        for key, red in self.BEST_KEYS:
+            if key not in valid_metrics:
+                continue
+            better = (valid_metrics[key] < self.best[key]) if red is min \
+                else (valid_metrics[key] > self.best[key])
+            if better:
+                self.best[key] = valid_metrics[key]
+                self._save(f"best_{key}_checkpoint.pkl", valid_metrics)
+        self._save("last_epoch_checkpoint.pkl", valid_metrics)
+
+    def _save(self, name: str, metrics):
+        save_checkpoint(
+            os.path.join(self.out_dir, name),
+            params=self.params, bn_state=self.bn_state,
+            opt_state=self.opt_state, epoch=self.epoch, metrics=metrics)

@@ -1,0 +1,5 @@
+from umeregrobust_tpu.utils.config import (
+    apply_overrides,
+    load_yaml_config,
+    update_namespace_from_yaml,
+)
