@@ -88,26 +88,16 @@ def main():
                             corr_pts=jnp.asarray(cp), corr_mask=jnp.asarray(cm))
         return out
 
+    from umeregrobust_tpu.pipeline.e2e import register_pair_e2e
+
     def run_pair(p, key):
-        from umeregrobust_tpu.pipeline.registration import copy_features_to_raw
-        feats = {}
-        for tag in ("src", "tgt"):
-            geom = build_unet_geometry(p[tag]["coords"], p[tag]["mask"], arch, caps)
-            fin = jnp.ones((SEM_CAP, 1)) * p[tag]["mask"][:, None]
-            feats[tag], _ = resunet_apply(params, state, geom, fin, arch,
-                                          compute_dtype=jnp.bfloat16)
-        cf = {}
-        for tag in ("src", "tgt"):
-            cf[tag] = copy_features_to_raw(
-                p[tag]["corr_pts"], p[tag]["corr_mask"],
-                p[tag]["grid"], feats[tag], p[tag]["mask"])
-        res = register_pair_features(
-            cfg, key,
-            p["src"]["grid"], feats["src"], p["src"]["mask"],
-            p["tgt"]["grid"], feats["tgt"], p["tgt"]["mask"],
-            p["src"]["corr_pts"], cf["src"], p["src"]["corr_mask"],
-            p["tgt"]["corr_pts"], cf["tgt"], p["tgt"]["corr_mask"])
-        return res.T_refined
+        _, T_ref = register_pair_e2e(
+            params, state, arch, caps, cfg, key,
+            p["src"]["coords"], p["src"]["grid"], p["src"]["mask"],
+            p["tgt"]["coords"], p["tgt"]["grid"], p["tgt"]["mask"],
+            p["src"]["corr_pts"], p["src"]["corr_mask"],
+            p["tgt"]["corr_pts"], p["tgt"]["corr_mask"])
+        return T_ref
 
     pairs = [prep_pair(100 + i) for i in range(N_PAIRS)]
     key = jax.random.PRNGKey(0)

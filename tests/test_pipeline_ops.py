@@ -180,3 +180,29 @@ class TestCorrelator:
             src, fs, mask, tgt, ft, mask, Ts, sigma=1.5,
             coarse_src=512, rescore_top=16, key=key)
         np.testing.assert_allclose(np.asarray(best_exact), np.asarray(best_2s))
+
+    def test_radius_mode_agrees_with_knn_on_winner(self, rng, key):
+        """The MXU-native radius-capped scorer must select the same winning
+        hypothesis as the reference-parity kNN scorer."""
+        from umeregrobust_tpu.core.transforms import random_rigid_transform
+        from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair
+        pair = make_pair(SceneConfig(extent=12.0, ground_points=2500,
+                                     structure_points=5000, n_boxes=10,
+                                     n_walls=4, n_poles=5, dropout=0.2),
+                         max_rotation_deg=60, max_translation=4.0, seed=11)
+        n = 1500
+        si = rng.choice(len(pair["src_pts"]), n, replace=False)
+        ti = rng.choice(len(pair["tgt_pts"]), n, replace=False)
+        src = jnp.array(pair["src_pts"][si])
+        tgt = jnp.array(pair["tgt_pts"][ti])
+        fs = jnp.stack([src[:, 2], jnp.array(pair["src_seg"][si], jnp.float32)], -1)
+        ft = jnp.stack([tgt[:, 2], jnp.array(pair["tgt_seg"][ti], jnp.float32)], -1)
+        mask = jnp.ones(n, bool)
+        bad = random_rigid_transform(key, (15,), max_translation=8.0)
+        Ts = jnp.concatenate([bad, jnp.array(pair["gt_tform"])[None]], axis=0)
+        b_knn, _ = select_best_transform(src, fs, mask, tgt, ft, mask, Ts,
+                                         sigma=1.5, coarse_src=None, mode="knn")
+        b_rad, _ = select_best_transform(src, fs, mask, tgt, ft, mask, Ts,
+                                         sigma=1.5, coarse_src=None, mode="radius")
+        np.testing.assert_allclose(np.asarray(b_knn), np.asarray(b_rad))
+        np.testing.assert_allclose(np.asarray(b_rad), pair["gt_tform"], atol=1e-5)

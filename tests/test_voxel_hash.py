@@ -86,6 +86,21 @@ class TestHashTable:
         miss = np.asarray(lookup(table, q))
         assert np.all(miss == -1)
 
+    def test_symmetric_coordinate_families(self):
+        """Swapped and negated coordinates (ubiquitous in symmetric voxel
+        grids) must not collide: regression for the XOR-of-products hash
+        whose probe AND fingerprint collided together on such keys."""
+        base = []
+        for x in range(-6, 7, 2):
+            for y in range(-6, 7, 2):
+                for z in range(-6, 7, 2):
+                    base.append((0, x, y, z))
+                    base.append((1, y, x, z))
+        c = np.unique(np.asarray(base, np.int32), axis=0)
+        table = build_hash_table(jnp.array(c), jnp.ones(len(c), bool))
+        hit = np.asarray(lookup(table, jnp.array(c)))
+        np.testing.assert_array_equal(hit, np.arange(len(c)))
+
     def test_mixed_queries(self, rng):
         c = self._coords(rng, 300)
         table = build_hash_table(jnp.array(c), jnp.ones(len(c), bool))

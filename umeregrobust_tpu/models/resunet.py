@@ -23,6 +23,7 @@ Design departures from the reference (TPU-first, not a port):
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
 
 import jax
@@ -96,11 +97,12 @@ def _tensor_strides(arch: ArchSpec) -> List[int]:
     return ts
 
 
+@partial(jax.jit, static_argnames=("arch", "capacities"))
 def build_unet_geometry(
     coords: jnp.ndarray,
     mask: jnp.ndarray,
     arch: ArchSpec,
-    capacities: Sequence[int],
+    capacities: Tuple[int, ...],
 ) -> Dict[str, Any]:
     """Build the full coordinate pyramid and every kernel map the UNet needs.
 
@@ -247,6 +249,8 @@ def _apply_block(p, s, feats, mask, nbr, block, train, compute_dtype):
     return out, new_s
 
 
+@partial(jax.jit,
+         static_argnames=("arch", "train", "normalize_feature", "compute_dtype"))
 def resunet_apply(
     params: Dict[str, Any],
     state: Dict[str, Any],

@@ -7,6 +7,7 @@ from umeregrobust_tpu.pipeline.matching import (
 from umeregrobust_tpu.pipeline.correlator import (
     cauchy_kernel,
     correlator_scores,
+    correlator_scores_radius,
     feature_spatial_var,
     prepare_weighted_features,
     select_best_transform,
@@ -17,3 +18,4 @@ from umeregrobust_tpu.pipeline.registration import (
     copy_features_to_raw,
     register_pair_features,
 )
+from umeregrobust_tpu.pipeline.eval_metrics import calc_inlier_ratio

@@ -1,0 +1,68 @@
+"""Fully-fused per-pair registration: one compiled program per pair.
+
+The remote-TPU execution path pays a fixed per-launch latency, and the
+benchmark loop is latency-bound at batch_size=1 — so the entire per-pair
+flow (geometry pyramid, two backbone forwards, feature transfer, UME
+matching, hypothesis scoring, ICP) is fused into a single jit here. Host
+code only pads inputs and reads back one 4x4 matrix per pair.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from umeregrobust_tpu.models.resunet import ArchSpec, build_unet_geometry, resunet_apply
+from umeregrobust_tpu.ops.gridnn import build_grid
+from umeregrobust_tpu.pipeline.icp import _icp_loop
+from umeregrobust_tpu.pipeline.registration import (
+    RegistrationConfig,
+    _hypotheses_and_select,
+    copy_features_to_raw,
+)
+
+__all__ = ["register_pair_e2e"]
+
+
+@partial(jax.jit, static_argnames=("arch", "caps", "cfg", "compute_dtype"))
+def register_pair_e2e(
+    params: Dict[str, Any],
+    state: Dict[str, Any],
+    arch: ArchSpec,
+    caps: Tuple[int, ...],
+    cfg: RegistrationConfig,
+    key: jax.Array,
+    src_coords: jnp.ndarray, src_grid: jnp.ndarray, src_mask: jnp.ndarray,
+    tgt_coords: jnp.ndarray, tgt_grid: jnp.ndarray, tgt_mask: jnp.ndarray,
+    corr_src_pts: jnp.ndarray, corr_src_mask: jnp.ndarray,
+    corr_tgt_pts: jnp.ndarray, corr_tgt_mask: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full pipeline in one launch. Returns (T_init, T_refined)."""
+    feats = {}
+    for tag, coords, mask in (("src", src_coords, src_mask),
+                              ("tgt", tgt_coords, tgt_mask)):
+        geom = build_unet_geometry(coords, mask, arch, caps)
+        fin = jnp.ones((coords.shape[0], 1), jnp.float32) * mask[:, None]
+        feats[tag], _ = resunet_apply(params, state, geom, fin, arch,
+                                      train=False, compute_dtype=compute_dtype)
+
+    cs_f = copy_features_to_raw(corr_src_pts, corr_src_mask, src_grid,
+                                feats["src"], src_mask)
+    ct_f = copy_features_to_raw(corr_tgt_pts, corr_tgt_mask, tgt_grid,
+                                feats["tgt"], tgt_mask)
+
+    best_T, _, _ = _hypotheses_and_select(
+        cfg, key,
+        src_grid, feats["src"], src_mask, tgt_grid, feats["tgt"], tgt_mask,
+        corr_src_pts, cs_f, corr_src_mask, corr_tgt_pts, ct_f, corr_tgt_mask)
+
+    grid = build_grid(corr_tgt_pts, corr_tgt_mask, cell=cfg.icp_max_corr)
+    arrays = (grid.points, grid.mask, grid.order, grid.cell_table, grid.start,
+              grid.count, None)
+    T_ref, _, _, _ = _icp_loop(corr_src_pts, corr_src_mask, arrays, best_T,
+                               float(cfg.icp_max_corr), int(cfg.icp_max_iter),
+                               8)
+    return best_T, T_ref

@@ -73,9 +73,14 @@ def _icp_loop(src, src_mask, grid_arrays, init_T, max_corr, max_iter, budget):
         dT, rmse, fit = corr_and_update(T)
         T_new = jnp.matmul(dT, T,
                            precision=jax.lax.Precision.HIGHEST)
+        # Open3D's criteria are 1e-6 relative in fp64; in fp32 the rmse
+        # jitters around ~1e-6 relative, so a literal port never fires and
+        # the loop always burns max_iter. 1e-5 relative + a tiny absolute
+        # floor matches Open3D's stopping behavior in practice.
         converged = (
-            (jnp.abs(prev_fit - fit) < 1e-6 * jnp.maximum(prev_fit, 1e-12))
-            & (jnp.abs(prev_rmse - rmse) < 1e-6 * jnp.maximum(prev_rmse, 1e-12))
+            (jnp.abs(prev_fit - fit) <= 1e-5 * jnp.maximum(prev_fit, 1e-12))
+            & (jnp.abs(prev_rmse - rmse)
+               <= jnp.maximum(1e-5 * prev_rmse, 1e-5 * max_corr))
         )
         return T_new, rmse, fit, it + 1, converged
 
@@ -97,9 +102,14 @@ def icp_point_to_point(
     max_iter: int = 200,
     src_mask: jnp.ndarray | None = None,
     tgt_mask: jnp.ndarray | None = None,
-    budget: int = 32,
+    budget: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Refine init_T with point-to-point ICP. Returns (T, rmse, fitness)."""
+    """Refine init_T with point-to-point ICP. Returns (T, rmse, fitness).
+
+    budget caps candidates per grid cell; at ICP scales (<= 0.4 m cells on
+    >= 0.3 m-voxelized clouds) cells hold a handful of points, so 8 is
+    lossless in practice and 4x cheaper than a conservative 32.
+    """
     if src_mask is None:
         src_mask = jnp.ones((src.shape[0],), bool)
     if tgt_mask is None:

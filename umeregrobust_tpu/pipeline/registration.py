@@ -51,6 +51,9 @@ class RegistrationConfig:
     corr_var_knn: int = 50
     corr_coarse_src: Optional[int] = 1024  # None => exact single-stage
     corr_rescore_top: int = 64
+    # 'radius' is the MXU-native fast path (~500x faster hypothesis scoring
+    # than the kNN-20 cap on TPU); 'knn' reproduces the reference exactly.
+    corr_mode: str = "radius"
     icp_max_corr: float = 0.2
     icp_max_iter: int = 200
 
@@ -124,7 +127,7 @@ def _hypotheses_and_select(
         corr_tgt_pts, corr_tgt_feat, corr_tgt_mask,
         Ts, sigma=cfg.corr_kernel_sigma, knn_k=cfg.corr_knn,
         var_knn=cfg.corr_var_knn, coarse_src=cfg.corr_coarse_src,
-        rescore_top=cfg.corr_rescore_top, key=k_corr)
+        rescore_top=cfg.corr_rescore_top, key=k_corr, mode=cfg.corr_mode)
     return best_T, Ts, scores
 
 
