@@ -117,7 +117,7 @@ def ume_distance(ume1: jnp.ndarray, ume2: jnp.ndarray) -> jnp.ndarray:
 
 
 def estimate_rigid_from_ume(
-    G: jnp.ndarray, H: jnp.ndarray
+    G: jnp.ndarray, H: jnp.ndarray, compute_distance: bool = True
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closed-form rigid transform from matched UME pairs.
 
@@ -161,7 +161,12 @@ def estimate_rigid_from_ume(
         R = U @ Q @ VH  # (B,3,3)
         b2 = wrc - wlc @ R  # (B,1,3) translation row
 
-    D = ume_distance(H, G)  # 0.707 * |P_H - P_G|_F (sqrt(2)/2 == 0.707...)
+    if compute_distance:
+        D = ume_distance(H, G)  # 0.707 * |P_H - P_G|_F (sqrt(2)/2 == 0.707)
+    else:
+        # the eval pipeline never reads D (matching already filtered by it);
+        # skipping saves two batched QRs + projection products per call
+        D = jnp.zeros(G.shape[:-2], jnp.float32)
 
     T = jnp.zeros(G.shape[:-2] + (4, 4), dtype=jnp.float32)
     T = T.at[..., :3, :3].set(jnp.swapaxes(R, -1, -2))

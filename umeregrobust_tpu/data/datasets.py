@@ -31,7 +31,8 @@ from umeregrobust_tpu.data.laserscan import load_semantic_kitti_pair_frame
 from umeregrobust_tpu.data.matching_host import mutual_matches, one_side_matches
 from umeregrobust_tpu.data.registry import load_registry
 from umeregrobust_tpu.data.sem import SEMConfig, equalize_sampling
-from umeregrobust_tpu.ops.voxel import coords_to_grid_pts_np, quantize_np
+from umeregrobust_tpu.ops.voxel import coords_to_grid_pts_np
+from umeregrobust_tpu.native import quantize as quantize_np
 
 __all__ = ["SemanticKITTIDataset", "NuscenesDataset", "load_pair_pickle", "save_pair_pickle"]
 

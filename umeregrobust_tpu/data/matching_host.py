@@ -3,12 +3,14 @@
 Equivalents of the reference's KDTree match utilities
 (utils/general_utils.py:38-59): one-sided and mutual nearest-neighbor
 matches under the GT transform, used to label training pairs. These run in
-the input pipeline on CPU (scipy cKDTree), not on device.
+the input pipeline on CPU through the native grid-hash NN
+(umeregrobust_tpu/native, C++), with a scipy fallback inside it.
 """
 from __future__ import annotations
 
 import numpy as np
-from scipy.spatial import cKDTree
+
+from umeregrobust_tpu import native
 
 __all__ = ["one_side_matches", "mutual_matches"]
 
@@ -21,10 +23,10 @@ def one_side_matches(
 ) -> np.ndarray:
     """(K, 2) [src_idx, tgt_idx] where the transformed source point's 1-NN
     in the target is within `radius` (utils/general_utils.py:38-44)."""
-    src_tf = src_pts @ tform[:3, :3].T + tform[:3, 3]
-    tree = cKDTree(tgt_pts)
-    dist, idx = tree.query(src_tf, k=1)
-    ok = dist < radius
+    src_tf = (src_pts @ tform[:3, :3].T + tform[:3, 3]).astype(np.float32)
+    idx, dist = native.nn_radius(src_tf, tgt_pts, radius)
+    # reference uses a strict < comparison (general_utils.py:42)
+    ok = (idx >= 0) & (dist < radius)
     return np.stack([np.nonzero(ok)[0], idx[ok]], axis=1).astype(np.int64)
 
 

@@ -91,10 +91,12 @@ def equalize_sampling(
         new_pts = (base + rng.uniform(-0.5, 0.5, size=base.shape) * v).astype(
             np.float32)
 
-    # label copy-back (kitti_dataset.py:536-541)
-    tree = cKDTree(pts)
-    dist, idx = tree.query(new_pts, k=1)
+    # label copy-back (kitti_dataset.py:536-541), native grid NN
+    from umeregrobust_tpu import native
+
+    idx, dist = native.nn_radius(new_pts, pts.astype(np.float32),
+                                 cfg.label_copy_dist)
     new_seg = np.zeros(len(new_pts), np.int32)
-    ok = dist <= cfg.label_copy_dist
+    ok = idx >= 0
     new_seg[ok] = seg[idx[ok]]
     return new_pts, new_seg

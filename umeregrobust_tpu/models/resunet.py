@@ -114,6 +114,8 @@ def build_unet_geometry(
       dec_maps:   per decoder step d (coarse level L-d -> L-d-1), the
                   transposed conv map
     """
+    from umeregrobust_tpu.ops.sparse import build_level_maps, kernel_offsets
+
     L = len(arch.channels)
     ts = _tensor_strides(arch)
     levels: List[Level] = [make_level(coords, mask)]
@@ -122,24 +124,46 @@ def build_unet_geometry(
                                  out_stride=ts[i], capacity=int(capacities[i]))
         levels.append(make_level(c, m))
 
-    enc_maps = [build_self_map(levels[0], arch.kernel_sizes[0], ts[0])]
-    for i in range(1, L):
-        enc_maps.append(
-            build_conv_map(levels[i - 1], levels[i], arch.kernel_sizes[i], ts[i - 1])
-        )
-
-    block_maps = []
-    for i in range(L):
-        if i == 0 and arch.kernel_sizes[0] == 3:
-            block_maps.append(enc_maps[0])  # reuse: same (level, k) map
-        else:
-            block_maps.append(build_self_map(levels[i], 3, ts[i]))
-
-    dec_maps = []
-    for d in range(L - 1):
-        coarse, fine = levels[L - 1 - d], levels[L - 2 - d]
-        k = arch.kernel_sizes[L - 1 - d]
-        dec_maps.append(build_transpose_map(coarse, fine, k, ts[L - 2 - d]))
+    # group every map that queries level l's key set into ONE sorted lookup
+    enc_maps: List[Any] = [None] * L
+    block_maps: List[Any] = [None] * L
+    dec_maps: List[Any] = [None] * (L - 1)
+    for lv in range(L):
+        requests = []
+        tags = []
+        # stem / self map with the arch's stem kernel (level 0 only)
+        if lv == 0:
+            requests.append((levels[0].coords, levels[0].mask,
+                             kernel_offsets(arch.kernel_sizes[0], ts[0]), +1))
+            tags.append(("enc", 0))
+        # residual-block k3 self map (reuses the stem map when identical)
+        if not (lv == 0 and arch.kernel_sizes[0] == 3):
+            requests.append((levels[lv].coords, levels[lv].mask,
+                             kernel_offsets(3, ts[lv]), +1))
+            tags.append(("block", lv))
+        # encoder strided conv INTO level lv+1 reads level lv's keys
+        if lv + 1 < L:
+            requests.append((levels[lv + 1].coords, levels[lv + 1].mask,
+                             kernel_offsets(arch.kernel_sizes[lv + 1], ts[lv]),
+                             +1))
+            tags.append(("enc", lv + 1))
+        # decoder transpose FROM coarse level lv down to lv-1 reads lv's keys
+        if lv > 0:
+            d = L - 1 - lv
+            requests.append((levels[lv - 1].coords, levels[lv - 1].mask,
+                             kernel_offsets(arch.kernel_sizes[lv], ts[lv - 1]),
+                             -1))
+            tags.append(("dec", d))
+        results = build_level_maps(levels[lv], requests)
+        for (kind, idx), res in zip(tags, results):
+            if kind == "enc":
+                enc_maps[idx] = res
+            elif kind == "block":
+                block_maps[idx] = res
+            else:
+                dec_maps[idx] = res
+    if arch.kernel_sizes[0] == 3:
+        block_maps[0] = enc_maps[0]
 
     return {
         "levels": levels,

@@ -37,13 +37,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from umeregrobust_tpu.ops.hashing import HashTable, build_hash_table, lookup
 from umeregrobust_tpu.ops.neighbors import gather_padded
+from umeregrobust_tpu.ops.sortmaps import batched_sorted_lookup
 
 __all__ = [
     "Level",
     "kernel_offsets",
     "build_self_map",
+    "build_level_maps",
     "downsample_coords",
     "build_conv_map",
     "build_transpose_map",
@@ -57,11 +58,10 @@ class Level(NamedTuple):
 
     coords: jnp.ndarray  # (N, 4) int32 (b, x, y, z) in unit-voxel ints
     mask: jnp.ndarray  # (N,) bool
-    table: HashTable  # hash table over coords
 
 
 def make_level(coords: jnp.ndarray, mask: jnp.ndarray) -> Level:
-    return Level(coords=coords, mask=mask, table=build_hash_table(coords, mask))
+    return Level(coords=coords, mask=mask)
 
 
 def kernel_offsets(kernel_size: int, t: int) -> np.ndarray:
@@ -74,25 +74,26 @@ def kernel_offsets(kernel_size: int, t: int) -> np.ndarray:
 
 
 def _build_map(
-    in_table: HashTable,
+    in_level: Level,
     out_coords: jnp.ndarray,
     out_mask: jnp.ndarray,
     offsets: np.ndarray,
     sign: int,
 ) -> jnp.ndarray:
-    """(K_vol, N_out) neighbor table: lookup(out + sign*offset_k)."""
+    """(K_vol, N_out) neighbor table: lookup(out + sign*offset_k) via one
+    multi-key sort (ops/sortmaps.py)."""
     offs = jnp.asarray(offsets)
-
-    def per_offset(off):
-        q = out_coords + sign * off[None, :]
-        return lookup(in_table, q, out_mask)
-
-    return jax.vmap(per_offset)(offs)
+    K = offs.shape[0]
+    N_out = out_coords.shape[0]
+    q = (out_coords[None, :, :] + sign * offs[:, None, :]).reshape(-1, 4)
+    qm = jnp.broadcast_to(out_mask[None, :], (K, N_out)).reshape(-1)
+    res = batched_sorted_lookup(in_level.coords, in_level.mask, q, qm)
+    return res.reshape(K, N_out)
 
 
 def build_self_map(level: Level, kernel_size: int, t: int) -> jnp.ndarray:
     """Stride-1 conv map at tensor stride t (used by convs and res-blocks)."""
-    return _build_map(level.table, level.coords, level.mask,
+    return _build_map(level, level.coords, level.mask,
                       kernel_offsets(kernel_size, t), sign=+1)
 
 
@@ -101,7 +102,7 @@ def build_conv_map(
 ) -> jnp.ndarray:
     """Strided conv map: out voxel b gathers in voxels b + delta, delta in
     {-t_in,..,t_in}^3."""
-    return _build_map(in_level.table, out_level.coords, out_level.mask,
+    return _build_map(in_level, out_level.coords, out_level.mask,
                       kernel_offsets(kernel_size, t_in), sign=+1)
 
 
@@ -111,8 +112,39 @@ def build_transpose_map(
     """Transposed conv map: fine out voxel a gathers coarse in voxel
     (a - delta_k), delta in {-t_out,..,t_out}^3 (true-transpose weight
     indexing)."""
-    return _build_map(coarse_level.table, fine_level.coords, fine_level.mask,
+    return _build_map(coarse_level, fine_level.coords, fine_level.mask,
                       kernel_offsets(kernel_size, t_out), sign=-1)
+
+
+def build_level_maps(
+    key_level: Level,
+    requests: Sequence[Tuple[jnp.ndarray, jnp.ndarray, np.ndarray, int]],
+) -> list:
+    """Resolve several kernel maps against ONE key set with a single sort.
+
+    requests: list of (out_coords, out_mask, offsets, sign) per map.
+    Returns one (K_vol, N_out) int32 array per request. This is the batched
+    fast path used by build_unet_geometry: every conv touching a level
+    contributes its queries to the same sort.
+    """
+    qs, qms, shapes = [], [], []
+    for out_coords, out_mask, offsets, sign in requests:
+        offs = jnp.asarray(offsets)
+        K = offs.shape[0]
+        N_out = out_coords.shape[0]
+        q = (out_coords[None, :, :] + sign * offs[:, None, :]).reshape(-1, 4)
+        qm = jnp.broadcast_to(out_mask[None, :], (K, N_out)).reshape(-1)
+        qs.append(q)
+        qms.append(qm)
+        shapes.append((K, N_out))
+    res = batched_sorted_lookup(
+        key_level.coords, key_level.mask,
+        jnp.concatenate(qs, axis=0), jnp.concatenate(qms, axis=0))
+    out, ofs = [], 0
+    for K, N_out in shapes:
+        out.append(res[ofs: ofs + K * N_out].reshape(K, N_out))
+        ofs += K * N_out
+    return out
 
 
 @partial(jax.jit, static_argnames=("out_stride", "capacity"))
@@ -127,22 +159,29 @@ def downsample_coords(
     out = unique(floor(c / out_stride) * out_stride), deterministic order =
     first occurrence in input row order. Returns (coords (capacity, 4),
     mask (capacity,)). Overflow beyond capacity is dropped (tracked by the
-    mask sum; callers size capacities generously).
+    mask sum; callers size capacities generously). Sort-based: one 5-key
+    sort finds the unique keys and their first-occurrence rows.
     """
+    from umeregrobust_tpu.ops.sortmaps import pack_coords
+
+    N = coords.shape[0]
     s = jnp.int32(out_stride)
-    spatial = coords[:, 1:]
     q = jnp.concatenate(
-        [coords[:, :1], (spatial // s) * s], axis=-1  # floor-div: correct for negatives
+        [coords[:, :1], (coords[:, 1:] // s) * s], axis=-1  # floor-div
     )
-    table = build_hash_table(q, mask)
-    canon = lookup(table, q, mask)
-    # row i is the canonical representative of its key iff lookup returns i
-    rep = mask & (canon == jnp.arange(q.shape[0], dtype=jnp.int32))
-    pos = jnp.cumsum(rep.astype(jnp.int32)) - 1
-    n_out = jnp.sum(rep.astype(jnp.int32))
-    out_idx = jnp.where(rep & (pos < capacity), pos, capacity)
-    out_coords = jnp.zeros((capacity, 4), jnp.int32).at[out_idx].set(q, mode="drop")
-    out_mask = jnp.arange(capacity) < jnp.minimum(n_out, capacity)
+    rows = jnp.arange(N, dtype=jnp.int32)
+    hi, lo = pack_coords(q, mask, jnp.int32(0x7FFFFFF0))
+    hi_s, lo_s, row_s = jax.lax.sort((hi, lo, rows), num_keys=3)
+    first = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+    ]) & mask[row_s]
+    # representatives in input-row order (reference first-occurrence order)
+    rep_row = jnp.where(first, row_s, jnp.int32(N))
+    rep_sorted = jnp.sort(rep_row)[:capacity]
+    out_mask = rep_sorted < N
+    safe = jnp.where(out_mask, rep_sorted, 0)
+    out_coords = q[safe]
     return out_coords, out_mask
 
 

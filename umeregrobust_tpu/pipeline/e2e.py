@@ -66,3 +66,37 @@ def register_pair_e2e(
                                float(cfg.icp_max_corr), int(cfg.icp_max_iter),
                                8)
     return best_T, T_ref
+
+
+@partial(jax.jit, static_argnames=("arch", "caps", "cfg", "compute_dtype"))
+def register_pairs_batched(
+    params: Dict[str, Any],
+    state: Dict[str, Any],
+    arch: ArchSpec,
+    caps: Tuple[int, ...],
+    cfg: RegistrationConfig,
+    keys: jax.Array,  # (B, 2) PRNG keys
+    src_coords: jnp.ndarray, src_grid: jnp.ndarray, src_mask: jnp.ndarray,
+    tgt_coords: jnp.ndarray, tgt_grid: jnp.ndarray, tgt_mask: jnp.ndarray,
+    corr_src_pts: jnp.ndarray, corr_src_mask: jnp.ndarray,
+    corr_tgt_pts: jnp.ndarray, corr_tgt_mask: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """vmap of register_pair_e2e over a leading batch of pairs.
+
+    Benchmark pairs are independent (reference evaluates batch_size=1
+    sequentially, evaluate.py:155-160); batching them through one program
+    amortizes fixed overheads and fills the MXU. Shard the batch axis over
+    the 'dp' mesh for multi-chip throughput. Note the data-dependent
+    while_loops (ICP, hash probing) run until the slowest pair finishes.
+    """
+
+    def one(key, sc, sg, sm, tc, tg, tm, csp, csm, ctp, ctm):
+        return register_pair_e2e(
+            params, state, arch, caps, cfg, key,
+            sc, sg, sm, tc, tg, tm, csp, csm, ctp, ctm,
+            compute_dtype=compute_dtype)
+
+    return jax.vmap(one)(
+        keys, src_coords, src_grid, src_mask, tgt_coords, tgt_grid, tgt_mask,
+        corr_src_pts, corr_src_mask, corr_tgt_pts, corr_tgt_mask)

@@ -91,10 +91,11 @@ def probabilistic_match_filter(
 
 
 def hungarian_match(D: np.ndarray) -> np.ndarray:
-    """Host-side Hungarian assignment over a distance matrix (scipy),
-    returning (K, 2) [src, tgt] pairs — the reference's optional matcher
-    (evaluate.py:216-222) and inlier-ratio matcher (eval_utils.py:40-47)."""
-    from scipy.optimize import linear_sum_assignment
+    """Host-side Hungarian assignment over a distance matrix (native C++
+    Jonker-Volgenant, scipy fallback), returning (K, 2) [src, tgt] pairs —
+    the reference's optional matcher (evaluate.py:216-222) and inlier-ratio
+    matcher (eval_utils.py:40-47)."""
+    from umeregrobust_tpu.native import hungarian
 
-    r, c = linear_sum_assignment(np.asarray(D))
+    r, c = hungarian(np.asarray(D))
     return np.stack([r, c], axis=1).astype(np.int64)

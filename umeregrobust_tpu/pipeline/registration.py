@@ -78,11 +78,25 @@ def copy_features_to_raw(
     sem_pts: jnp.ndarray,
     sem_feat: jnp.ndarray,
     sem_mask: jnp.ndarray,
+    chunk: int = 1024,
 ) -> jnp.ndarray:
     """1-NN feature transfer from SEM grid points to raw correlator points
-    (reference evaluate.py:272-275)."""
-    _, idx = knn(raw_pts, sem_pts, K=1, q_mask=raw_mask, p_mask=sem_mask)
-    return sem_feat[idx[:, 0]] * raw_mask[:, None]
+    (reference evaluate.py:272-275). Chunked argmin (no top_k)."""
+    from umeregrobust_tpu.ops.neighbors import pairwise_sqdist
+
+    M = raw_pts.shape[0]
+    pad = (-M) % chunk
+    qp = jnp.pad(raw_pts, ((0, pad), (0, 0)))
+    n_chunks = qp.shape[0] // chunk
+    inv = jnp.where(sem_mask, 0.0, jnp.float32(1e30))
+
+    def step(_, qb):
+        d2 = pairwise_sqdist(qb, sem_pts) + inv[None, :]
+        return None, jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+    _, idx = jax.lax.scan(step, None, qp.reshape(n_chunks, chunk, 3))
+    idx = idx.reshape(-1)[:M]
+    return sem_feat[idx] * raw_mask[:, None]
 
 
 @partial(
@@ -120,7 +134,7 @@ def _hypotheses_and_select(
     G = ume_src[keep]  # matched source UMEs
     H = ume_tgt[m[keep]]  # matched target UMEs
     # reference call order: G=src, H=tgt -> T maps src into tgt
-    Ts, _ = estimate_rigid_from_ume(G, H)
+    Ts, _ = estimate_rigid_from_ume(G, H, compute_distance=False)
 
     best_T, scores = select_best_transform(
         corr_src_pts, corr_src_feat, corr_src_mask,
