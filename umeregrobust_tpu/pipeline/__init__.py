@@ -19,3 +19,9 @@ from umeregrobust_tpu.pipeline.registration import (
     register_pair_features,
 )
 from umeregrobust_tpu.pipeline.eval_metrics import calc_inlier_ratio
+from umeregrobust_tpu.pipeline.rtume import rtume_estimate
+from umeregrobust_tpu.pipeline.keypoint_samplers import (
+    sample_grid_keypoints,
+    sample_smart_keypoints,
+)
+from umeregrobust_tpu.pipeline.e2e import register_pair_e2e, register_pairs_batched

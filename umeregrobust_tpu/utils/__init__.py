@@ -3,3 +3,4 @@ from umeregrobust_tpu.utils.config import (
     load_yaml_config,
     update_namespace_from_yaml,
 )
+from umeregrobust_tpu.utils.profiling import device_trace, phase, report, reset
