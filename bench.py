@@ -47,7 +47,16 @@ def main():
     N_PAIRS = 6
     arch = ARCHS["ResUNetSmall2"]
     caps = (SEM_CAP, 12288, 6144, 3072, 1024)
-    params, state = init_resunet(jax.random.PRNGKey(0), arch, 1, 32)
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "weights", "synthetic_pretrain.pkl")
+    if os.path.exists(ckpt):
+        from umeregrobust_tpu.train.checkpoint import load_checkpoint
+        blob = load_checkpoint(ckpt)
+        params, state = blob["params"], blob["bn_state"]
+        log(f"loaded {ckpt}")
+    else:
+        params, state = init_resunet(jax.random.PRNGKey(0), arch, 1, 32)
+        log("no pretrained checkpoint -> random init")
     cfg = RegistrationConfig(
         num_init_keypoints=2048, ume_n_samples=512,
         corr_coarse_src=1024, corr_rescore_top=32,
@@ -125,8 +134,9 @@ def main():
 
     rres, rtes = np.asarray(rres), np.asarray(rtes)
     sp = float(((rres <= 1.0) & (rtes <= 0.1)).mean())
+    np_r = float(((rres <= 1.5) & (rtes <= 0.6)).mean())
     pps = 1.0 / float(np.mean(times))
-    log(f"SP recall (synthetic, untrained features): {100*sp:.1f}% | "
+    log(f"synthetic recall: NP={100*np_r:.1f}% SP={100*sp:.1f}% | "
         f"{pps:.3f} pairs/s")
     print(json.dumps({
         "metric": "reg_pairs_per_sec",

@@ -1,0 +1,89 @@
+"""Pretrain the coloring backbone on synthetic scenes.
+
+Produces weights/synthetic_pretrain.pkl — a checkpoint trained on
+procedurally generated registration pairs (data/synthetic.py) with the
+full loss stack (InfoNCE + UME-contrastive + cube-registration). The real
+KITTI/nuScenes data and released reference checkpoints are not available
+in this environment; this checkpoint makes the end-to-end benchmark
+exercise learned features rather than random init.
+
+Usage: python tools/train_synthetic.py [--steps 300] [--batch 4]
+"""
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--pc-cap", type=int, default=8192)
+    ap.add_argument("--out", default="weights/synthetic_pretrain.pkl")
+    ap.add_argument("--n-scenes", type=int, default=48)
+    ap.add_argument("--resume", default="")
+    ap.add_argument("--seed0", type=int, default=1000)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from umeregrobust_tpu.data.synthetic import SceneConfig, make_collated_batch
+    from umeregrobust_tpu.train import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        max_pc_size=args.pc_cap,
+        batch_size=args.batch,
+        ume_n_samples=128,
+        ume_max_nn=512,
+        ume_min_nn=64,
+        ume_r_nn=5.0,
+        level_capacity_ratios=(1.0, 0.8, 0.45, 0.25, 0.1),
+    )
+    scene = SceneConfig(extent=22.0, ground_points=10000,
+                        structure_points=20000, n_boxes=20, n_walls=7,
+                        n_poles=12, dropout=0.3)
+    print("building batches...", flush=True)
+    batches = []
+    for i in range(args.n_scenes // args.batch):
+        b = make_collated_batch(scene, n_pairs=args.batch,
+                                max_pc_size=args.pc_cap, num_matches=256,
+                                seed=args.seed0 + i * args.batch,
+                                max_rotation_deg=120, max_translation=8.0)
+        batches.append({k: jnp.asarray(v) for k, v in b.items()})
+        print(f"  batch {i+1}", flush=True)
+
+    tr = Trainer(cfg, "/tmp/synth_train")
+    if args.resume and os.path.exists(args.resume):
+        from umeregrobust_tpu.train.checkpoint import load_checkpoint
+        blob = load_checkpoint(args.resume)
+        tr.params = blob["params"]
+        tr.bn_state = blob["bn_state"]
+        print(f"resumed params from {args.resume}", flush=True)
+    t0 = time.time()
+    for step in range(args.steps):
+        b = batches[step % len(batches)]
+        tr.params, tr.bn_state, tr.opt_state, m = tr.train_step(
+            tr.params, tr.bn_state, tr.opt_state, b)
+        if step % 20 == 0 or step == args.steps - 1:
+            print(f"step {step}: total={float(m['total_loss']):.4f} "
+                  f"pw={float(m['pointwise_loss']):.4f} "
+                  f"ume={float(m.get('ume_loss', 0)):.4f} "
+                  f"reg={float(m.get('reg_loss', 0)):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    from umeregrobust_tpu.train.checkpoint import save_checkpoint
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    save_checkpoint(args.out, params=tr.params, bn_state=tr.bn_state,
+                    opt_state={}, epoch=0,
+                    metrics={"final_total_loss": float(m["total_loss"])})
+    print(f"saved {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

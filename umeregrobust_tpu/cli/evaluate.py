@@ -258,6 +258,14 @@ def main(argv=None):
     args = apply_overrides(args, args.set)
     np.random.seed(int(args.seed))
     print(f"Evaluate {args.dataset} benchmark: {args.benchmark}")
+    if getattr(args, "hungarian_matching_flag", False):
+        # every shipped benchmark config disables this (e.g.
+        # test_kitti_config.yaml:15); the fused pipeline uses the default
+        # argmin matcher. Hungarian remains available host-side via
+        # pipeline.matching.hungarian_match / pipeline.eval_metrics.
+        print("warning: hungarian_matching_flag=true is not wired into the "
+              "fused eval path; using argmin matching (the default in all "
+              "shipped reference configs)")
 
     if args.synthetic:
         pair_iter, n = _synthetic_pair_iter(args, args.synthetic)
