@@ -65,6 +65,14 @@ def main():
         tr.params = blob["params"]
         tr.bn_state = blob["bn_state"]
         print(f"resumed params from {args.resume}", flush=True)
+
+    from umeregrobust_tpu.train.checkpoint import save_checkpoint
+
+    def save(m):
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        save_checkpoint(args.out, params=tr.params, bn_state=tr.bn_state,
+                        opt_state={}, epoch=0,
+                        metrics={"final_total_loss": float(m["total_loss"])})
     t0 = time.time()
     for step in range(args.steps):
         b = batches[step % len(batches)]
@@ -76,12 +84,10 @@ def main():
                   f"ume={float(m.get('ume_loss', 0)):.4f} "
                   f"reg={float(m.get('reg_loss', 0)):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if (step + 1) % 100 == 0:
+            save(m)  # periodic save: timeouts never lose the run
 
-    from umeregrobust_tpu.train.checkpoint import save_checkpoint
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    save_checkpoint(args.out, params=tr.params, bn_state=tr.bn_state,
-                    opt_state={}, epoch=0,
-                    metrics={"final_total_loss": float(m["total_loss"])})
+    save(m)
     print(f"saved {args.out}", flush=True)
 
 
