@@ -60,7 +60,8 @@ def main():
     cfg = RegistrationConfig(
         num_init_keypoints=2048, ume_n_samples=512,
         corr_coarse_src=1024, corr_rescore_top=32,
-        icp_max_corr=0.4, icp_max_iter=60)
+        icp_max_corr=0.4, icp_max_iter=60,
+        icp_coarse_corr=None)
 
     def prep_pair(seed):
         pair = make_pair(SceneConfig(extent=25.0, ground_points=12000,

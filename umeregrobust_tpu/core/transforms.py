@@ -127,7 +127,11 @@ def relative_rotation_error(R: jnp.ndarray, R_hat: jnp.ndarray) -> jnp.ndarray:
     Mirrors reference utils/eval_utils.py:60-76 (trace clamped to [-1, 3]
     before acos to avoid NaNs from numerical noise).
     """
-    delta = R_hat @ jnp.swapaxes(R, -1, -2)
+    # full-precision product: a bf16 MXU pass puts ~0.4% noise on the
+    # trace, which acos near trace=3 turns into a 2-6 degree error FLOOR —
+    # the metric itself would dominate sub-degree recall thresholds.
+    delta = jnp.matmul(R_hat, jnp.swapaxes(R, -1, -2),
+                       precision=jax.lax.Precision.HIGHEST)
     tr = jnp.trace(delta, axis1=-2, axis2=-1)
     tr = jnp.clip(tr, -1.0, 3.0)
     return jnp.degrees(jnp.arccos((tr - 1.0) / 2.0))

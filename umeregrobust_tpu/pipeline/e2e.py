@@ -59,13 +59,18 @@ def register_pair_e2e(
         src_grid, feats["src"], src_mask, tgt_grid, feats["tgt"], tgt_mask,
         corr_src_pts, cs_f, corr_src_mask, corr_tgt_pts, ct_f, corr_tgt_mask)
 
-    grid = build_grid(corr_tgt_pts, corr_tgt_mask, cell=cfg.icp_max_corr)
-    arrays = (grid.points, grid.mask, grid.order, grid.cell_table, grid.start,
-              grid.count, None)
-    T_ref, _, _, _ = _icp_loop(corr_src_pts, corr_src_mask, arrays, best_T,
-                               float(cfg.icp_max_corr), int(cfg.icp_max_iter),
-                               8)
-    return best_T, T_ref
+    T_cur = best_T
+    stages = []
+    if cfg.icp_coarse_corr is not None:
+        stages.append((float(cfg.icp_coarse_corr), int(cfg.icp_coarse_iter), 32))
+    stages.append((float(cfg.icp_max_corr), int(cfg.icp_max_iter), 8))
+    for corr, iters, budget in stages:
+        grid = build_grid(corr_tgt_pts, corr_tgt_mask, cell=corr)
+        arrays = (grid.points, grid.mask, grid.order, grid.cell_table,
+                  grid.start, grid.count, None)
+        T_cur, _, _, _ = _icp_loop(corr_src_pts, corr_src_mask, arrays, T_cur,
+                                   corr, iters, budget)
+    return best_T, T_cur
 
 
 @partial(jax.jit, static_argnames=("arch", "caps", "cfg", "compute_dtype"))

@@ -56,6 +56,12 @@ class RegistrationConfig:
     corr_mode: str = "radius"
     icp_max_corr: float = 0.2
     icp_max_iter: int = 200
+    # optional coarse-to-fine: a first ICP stage at a larger correspondence
+    # radius rescues hypotheses several degrees off (where the reference
+    # relies on its hypotheses already being tight). None = single-stage
+    # parity with Open3D registration_icp(max_corr).
+    icp_coarse_corr: Optional[float] = None
+    icp_coarse_iter: int = 25
 
 
 class RegistrationResult(NamedTuple):
