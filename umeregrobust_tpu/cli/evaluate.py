@@ -23,8 +23,7 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from types import SimpleNamespace
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ import os
 import time
 from typing import Iterator
 
-import jax
 import numpy as np
 
 from umeregrobust_tpu.data.collate import collate_fixed

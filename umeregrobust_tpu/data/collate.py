@@ -15,7 +15,7 @@ Output (numpy, ready to ship to device):
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

@@ -11,8 +11,6 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
-import numpy as np
-
 from umeregrobust_tpu.data.datasets import (
     NuscenesDataset,
     SemanticKITTIDataset,

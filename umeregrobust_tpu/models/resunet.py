@@ -24,7 +24,7 @@ Design departures from the reference (TPU-first, not a port):
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
+from typing import Any, Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

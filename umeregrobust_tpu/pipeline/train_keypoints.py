@@ -30,7 +30,7 @@ being dropped, and downstream losses consume the mask.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,8 +24,8 @@ import functools
 import json
 import os
 import time
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Iterable, Tuple
 
 import jax
 import jax.numpy as jnp

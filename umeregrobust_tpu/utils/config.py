@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import argparse
 import ast
-from types import SimpleNamespace
 from typing import Any, Dict
 
 import yaml
