@@ -80,6 +80,35 @@ class TestForward:
             np.asarray(out1)[:n], np.asarray(out2)[:n], atol=2e-4)
 
 
+class TestSixLevelFamily:
+    def test_resunet5_forward(self):
+        """6-level variant: k5 kernels and the deep stride chain (1,2,2,2,2,3)
+        exercise non-k3 offsets and a 6-deep pyramid."""
+        rng = np.random.default_rng(5)
+        arch = ARCHS["ResUNet5"]
+        coords, mask, n = _cloud(rng, n=600, cap=768, lim=60)
+        geom = build_unet_geometry(coords, mask, arch, (768,) * 6)
+        params, state = init_resunet(jax.random.PRNGKey(2), arch, 1, 16)
+        feats = jnp.ones((768, 1)) * mask[:, None]
+        out, _ = resunet_apply(params, state, geom, feats, arch)
+        out = np.asarray(out)
+        m = np.asarray(mask)
+        assert out.shape == (768, 16)
+        np.testing.assert_allclose(np.linalg.norm(out[m], axis=-1), 1.0,
+                                   atol=1e-4)
+
+    def test_resunet_stride4_stem7(self):
+        """The original ResUNet: k7 stem and a stride-4 second level."""
+        rng = np.random.default_rng(6)
+        arch = ARCHS["ResUNet"]
+        coords, mask, n = _cloud(rng, n=500, cap=640, lim=80)
+        geom = build_unet_geometry(coords, mask, arch, (640,) * 6)
+        params, state = init_resunet(jax.random.PRNGKey(3), arch, 1, 16)
+        feats = jnp.ones((640, 1)) * mask[:, None]
+        out, _ = resunet_apply(params, state, geom, feats, arch)
+        assert np.isfinite(np.asarray(out)).all()
+
+
 class TestConverter:
     def test_structure_matches_init(self):
         """A synthetic torch-style state dict converts to pytrees with the
