@@ -122,10 +122,10 @@ def main():
     for i, p in enumerate(pairs):
         key, k = jax.random.split(key)
         t0 = time.time()
-        T = run_pair(p, k)
-        T.block_until_ready()
+        # fetch the 4x4 result inside the timed region: block_until_ready
+        # has been observed to return early through the remote tunnel
+        T = np.asarray(run_pair(p, k))
         times.append(time.time() - t0)
-        T = np.asarray(T)
         rre = float(relative_rotation_error(
             jnp.asarray(p["gt"][None, :3, :3]), jnp.asarray(T[None, :3, :3]))[0])
         rte = float(np.linalg.norm(T[:3, 3] - p["gt"][:3, 3]))

@@ -40,14 +40,24 @@ def register_pair_e2e(
     corr_tgt_pts: jnp.ndarray, corr_tgt_mask: jnp.ndarray,
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full pipeline in one launch. Returns (T_init, T_refined)."""
-    feats = {}
-    for tag, coords, mask in (("src", src_coords, src_mask),
-                              ("tgt", tgt_coords, tgt_mask)):
-        geom = build_unet_geometry(coords, mask, arch, caps)
-        fin = jnp.ones((coords.shape[0], 1), jnp.float32) * mask[:, None]
-        feats[tag], _ = resunet_apply(params, state, geom, fin, arch,
-                                      train=False, compute_dtype=compute_dtype)
+    """Full pipeline in one launch. Returns (T_init, T_refined).
+
+    Both clouds run through ONE geometry build and ONE backbone forward:
+    the coordinate hash key carries the batch index (src=its own id,
+    tgt=src+1), so a single sparse pyramid holds both clouds and the conv
+    matmuls see twice the rows (better MXU utilization than two half-size
+    passes; also one sort pass instead of two).
+    """
+    N = src_coords.shape[0]
+    tgt_b = tgt_coords.at[:, 0].add(jnp.where(tgt_mask, 1, 0))
+    coords2 = jnp.concatenate([src_coords, tgt_b], axis=0)
+    mask2 = jnp.concatenate([src_mask, tgt_mask])
+    caps2 = tuple(2 * c for c in caps)
+    geom = build_unet_geometry(coords2, mask2, arch, caps2)
+    fin = jnp.ones((2 * N, 1), jnp.float32) * mask2[:, None]
+    both, _ = resunet_apply(params, state, geom, fin, arch,
+                            train=False, compute_dtype=compute_dtype)
+    feats = {"src": both[:N], "tgt": both[N:]}
 
     cs_f = copy_features_to_raw(corr_src_pts, corr_src_mask, src_grid,
                                 feats["src"], src_mask)
