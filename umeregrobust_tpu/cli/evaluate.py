@@ -30,18 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from umeregrobust_tpu.core.transforms import relative_rotation_error
-from umeregrobust_tpu.models.resunet import (
-    ARCHS,
-    build_unet_geometry,
-    init_resunet,
-    resunet_apply,
-)
+from umeregrobust_tpu.models.resunet import ARCHS, init_resunet
 from umeregrobust_tpu.ops.voxel import quantize_np
-from umeregrobust_tpu.pipeline.registration import (
-    RegistrationConfig,
-    copy_features_to_raw,
-    register_pair_features,
-)
+from umeregrobust_tpu.pipeline.registration import RegistrationConfig
 from umeregrobust_tpu.utils.config import apply_overrides, update_namespace_from_yaml
 
 BENCHMARK_CONFIGS = {
@@ -117,13 +108,7 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
     caps = tuple(int(-(-int(sem_cap * r) // 128) * 128)
                  for r in (1.0, 0.75, 0.4, 0.2, 0.08))
 
-    def features_for(coords4, mask):
-        geom = build_unet_geometry(jnp.asarray(coords4), jnp.asarray(mask),
-                                   arch, caps)
-        fin = jnp.ones((sem_cap, 1), jnp.float32) * jnp.asarray(mask)[:, None]
-        out, _ = resunet_apply(params, state, geom, fin, arch, train=False,
-                               compute_dtype=jnp.bfloat16)
-        return out
+    from umeregrobust_tpu.pipeline.e2e import register_pair_e2e
 
     rre_list, rte_list, times = [], [], []
     key = jax.random.PRNGKey(int(args.seed))
@@ -132,8 +117,6 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
         key, k_pair = jax.random.split(key)
         sp, ss, sc, sm = _pad_cloud(*pair["sem_src"], sem_cap)
         tp, ts_, tc, tm = _pad_cloud(*pair["sem_tgt"], sem_cap)
-        src_feat = features_for(sc, sm)
-        tgt_feat = features_for(tc, tm)
 
         # correlator clouds: src @ corr_ds, tgt @ 0.3 (reference hardcode)
         def corr_prep(raw_pts, q):
@@ -148,17 +131,15 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
 
         cs_p, cs_m = corr_prep(pair["raw_src"], float(args.corr_ds))
         ct_p, ct_m = corr_prep(pair["raw_tgt"], 0.3)
-        cs_f = copy_features_to_raw(cs_p, cs_m, jnp.asarray(sp), src_feat,
-                                    jnp.asarray(sm))
-        ct_f = copy_features_to_raw(ct_p, ct_m, jnp.asarray(tp), tgt_feat,
-                                    jnp.asarray(tm))
 
-        res = register_pair_features(
-            reg_cfg, k_pair,
-            jnp.asarray(sp), src_feat, jnp.asarray(sm),
-            jnp.asarray(tp), tgt_feat, jnp.asarray(tm),
-            cs_p, cs_f, cs_m, ct_p, ct_f, ct_m)
-        T = np.asarray(res.T_refined)
+        # whole pair (features + matching + hypotheses + correlator + ICP)
+        # in one compiled program
+        _, T_ref = register_pair_e2e(
+            params, state, arch, caps, reg_cfg, k_pair,
+            jnp.asarray(sc), jnp.asarray(sp), jnp.asarray(sm),
+            jnp.asarray(tc), jnp.asarray(tp), jnp.asarray(tm),
+            cs_p, cs_m, ct_p, ct_m)
+        T = np.asarray(T_ref)
         gt = pair["gt_tform"]
         rre = float(relative_rotation_error(
             jnp.asarray(gt[None, :3, :3]), jnp.asarray(T[None, :3, :3]))[0])
