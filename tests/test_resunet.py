@@ -156,6 +156,44 @@ class TestConverter:
         flat_s2 = jax.tree_util.tree_leaves_with_path(s2)
         assert len(flat_s1) == len(flat_s2)
 
+    def test_numerical_roundtrip_forward(self, small2_setup):
+        """Params exported to a torch-style state dict and re-imported must
+        produce bit-identical forward outputs (value mapping, not just
+        structure)."""
+        arch, coords, mask, n, geom, params, state = small2_setup
+
+        sd = {}
+
+        def emit(path, node):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    emit(path + [k], v)
+                    continue
+                val = np.asarray(v)
+                if k == "w":
+                    if val.ndim == 3 and val.shape[0] == 1:
+                        val = val[0]
+                    sd[".".join(path) + ".kernel"] = val
+                elif k == "b":
+                    sd[".".join(path) + ".bias"] = val
+                elif k == "scale":
+                    sd[".".join(path) + ".bn.weight"] = val
+                elif k == "bias":
+                    sd[".".join(path) + ".bn.bias"] = val
+                elif k == "mean":
+                    sd[".".join(path) + ".bn.running_mean"] = val
+                elif k == "var":
+                    sd[".".join(path) + ".bn.running_var"] = val
+
+        emit([], params)
+        emit([], state)
+        p2, s2 = convert_state_dict(sd, me_order="z_fastest")
+        feats = jnp.ones((512, 1)) * mask[:, None]
+        out1, _ = resunet_apply(params, state, geom, feats, arch)
+        out2, _ = resunet_apply(p2, s2, geom, feats, arch)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-6)
+
     def test_offset_permutation_roundtrip(self):
         perm = offset_permutation(3, "x_fastest")
         assert sorted(perm.tolist()) == list(range(27))
