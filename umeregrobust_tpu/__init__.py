@@ -1,13 +1,13 @@
 """umeregrobust_tpu: a TPU-native LiDAR point-cloud rigid-registration framework.
 
 Re-implements the full capability surface of UMERegRobust (ECCV 2024,
-reference: yuvalH9/UMERegRobust) as an idiomatic JAX/XLA/Pallas framework:
+reference: yuvalH9/UMERegRobust) as an idiomatic JAX/XLA framework:
 
 - ``core``     : rigid transforms, UME moment matrices, subspace distance,
                  closed-form rigid-transform estimation (jnp.linalg, vmap).
 - ``ops``      : fixed-shape neighbor search (ball query / kNN), voxel
                  quantization, device hash tables, sparse 3D convolution
-                 (gather-GEMM-scatter, Pallas hot path), ICP.
+                 (gather-GEMM over cached kernel maps), ICP.
 - ``models``   : the sparse ResUNet "coloring" family (flagship
                  ``ResUNetSmall2``) as functional param-pytree models.
 - ``pipeline`` : matching, hypothesis generation, kernel-correlation

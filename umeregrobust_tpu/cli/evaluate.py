@@ -64,6 +64,10 @@ def _pad_cloud(pts, seg, coords, cap):
 
 
 def _registration_cfg(args) -> RegistrationConfig:
+    defaults = RegistrationConfig()
+    icp_coarse = getattr(args, "icp_coarse_corr", defaults.icp_coarse_corr)
+    if icp_coarse is not None:
+        icp_coarse = float(icp_coarse) or None  # 0 / "0" disables
     return RegistrationConfig(
         ume_r_nn=float(args.ume_r_nn),
         ume_max_nn=int(args.ume_max_nn),
@@ -73,10 +77,18 @@ def _registration_cfg(args) -> RegistrationConfig:
         filter_by_ume_dist=bool(args.filter_by_ume_dist_cond),
         tau=float(args.tau),
         corr_kernel_sigma=float(args.corr_kernel_sigma),
+        # parity switches (README "reference-parity mode"): corr_mode=knn
+        # restores the exact kNN-20 correlator of loc_utils.py:640-681
+        corr_mode=str(getattr(args, "corr_mode", defaults.corr_mode)),
+        corr_knn=int(getattr(args, "corr_knn", defaults.corr_knn)),
+        corr_var_knn=int(getattr(args, "corr_var_knn", defaults.corr_var_knn)),
         corr_coarse_src=int(getattr(args, "corr_coarse_src", 1024)) or None,
         corr_rescore_top=int(getattr(args, "corr_rescore_top", 64)),
         icp_max_corr=float(getattr(args, "icp_max_corr", 0.2)),
         icp_max_iter=int(getattr(args, "icp_max_iter", 200)),
+        icp_coarse_corr=icp_coarse,
+        icp_coarse_iter=int(getattr(args, "icp_coarse_iter",
+                                    defaults.icp_coarse_iter)),
     )
 
 

@@ -31,7 +31,7 @@ fastest; the checkpoint converter owns any permutation to ME's order.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

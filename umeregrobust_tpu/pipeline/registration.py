@@ -72,10 +72,15 @@ class RegistrationResult(NamedTuple):
 
 
 def _sample_keypoints(key, pts, mask, n):
+    """Sample n keypoints ~ uniform over valid rows (reference
+    evaluate.py:195-204 samples min(10000, len(pts)); we keep the static
+    shape and return a per-keypoint validity flag instead — when the cloud
+    has fewer than n valid points, the surplus slots land on padded rows
+    and are masked out of matching/filtering downstream)."""
     p = mask.astype(jnp.float32)
     p = p / jnp.maximum(jnp.sum(p), 1.0)
     idx = jax.random.choice(key, pts.shape[0], (n,), replace=False, p=p)
-    return pts[idx], idx
+    return pts[idx], mask[idx]
 
 
 def copy_features_to_raw(
@@ -120,17 +125,21 @@ def _hypotheses_and_select(
     k_src, k_tgt, k_filt, k_corr = jax.random.split(key, 4)
 
     n_init = cfg.num_init_keypoints if cfg.filter_by_ume_dist else cfg.ume_n_samples
-    src_kp, _ = _sample_keypoints(k_src, src_pts, src_mask, n_init)
-    tgt_kp, _ = _sample_keypoints(k_tgt, tgt_pts, tgt_mask, n_init)
+    src_kp, src_kp_ok = _sample_keypoints(k_src, src_pts, src_mask, n_init)
+    tgt_kp, tgt_kp_ok = _sample_keypoints(k_tgt, tgt_pts, tgt_mask, n_init)
 
     ume_src = ume_from_ball_query(
         src_pts, src_feat, src_kp, radius=cfg.ume_r_nn, max_nn=cfg.ume_max_nn,
-        p_mask=src_mask, normalize=True)
+        p_mask=src_mask, k_mask=src_kp_ok, normalize=True)
     ume_tgt = ume_from_ball_query(
         tgt_pts, tgt_feat, tgt_kp, radius=cfg.ume_r_nn, max_nn=cfg.ume_max_nn,
-        p_mask=tgt_mask, normalize=True)
+        p_mask=tgt_mask, k_mask=tgt_kp_ok, normalize=True)
 
-    m, d = argmin_match(ume_src, ume_tgt)
+    # invalid keypoints (surplus slots on small clouds) get distance 1e6 so
+    # the exp((1-d)/tau) filter assigns them ~zero probability, and padded
+    # targets never win an argmin.
+    m, d = argmin_match(ume_src, ume_tgt,
+                        src_mask=src_kp_ok, tgt_mask=tgt_kp_ok)
 
     if cfg.filter_by_ume_dist:
         keep = probabilistic_match_filter(k_filt, d, cfg.ume_n_samples, cfg.tau)
