@@ -206,3 +206,44 @@ class TestCorrelator:
                                          sigma=1.5, coarse_src=None, mode="radius")
         np.testing.assert_allclose(np.asarray(b_knn), np.asarray(b_rad))
         np.testing.assert_allclose(np.asarray(b_rad), pair["gt_tform"], atol=1e-5)
+
+
+class TestDenseGrid:
+    def test_exact_within_radius(self, rng):
+        from umeregrobust_tpu.ops.densegrid import (
+            build_dense_grid, dense_nn_query, max_cell_count)
+
+        p = rng.uniform(-5, 5, size=(700, 3)).astype(np.float32)
+        q = rng.uniform(-5, 5, size=(200, 3)).astype(np.float32)
+        r = 0.5
+        grid = build_dense_grid(jnp.array(p), jnp.ones(700, bool), cell=r,
+                                dims=(32, 32, 32))
+        assert int(grid.overflow) == 0
+        assert int(max_cell_count(grid)) <= 64
+        dist, idx = dense_nn_query(grid, jnp.array(q), radius=r, budget=64)
+        dist, idx = np.asarray(dist), np.asarray(idx)
+        dd = np.linalg.norm(q[:, None] - p[None], axis=-1)
+        best = dd.argmin(axis=1)
+        for i in range(200):
+            if dd[i, best[i]] <= r:
+                assert idx[i] >= 0
+                np.testing.assert_allclose(dist[i], dd[i, best[i]], atol=1e-5)
+                assert np.isclose(dd[i, idx[i]], dd[i, best[i]], atol=1e-5)
+            else:
+                assert idx[i] == -1
+
+    def test_overflow_reported_and_masked_points_ignored(self, rng):
+        from umeregrobust_tpu.ops.densegrid import (
+            build_dense_grid, dense_nn_query)
+
+        p = rng.uniform(0, 3, size=(50, 3)).astype(np.float32)
+        p[0] = [100.0, 100.0, 100.0]  # outside a small box
+        mask = np.ones(50, bool)
+        mask[1] = False
+        grid = build_dense_grid(jnp.array(p), jnp.array(mask), cell=0.5,
+                                dims=(16, 16, 16))
+        assert int(grid.overflow) == 1
+        # query exactly at the masked point: must not match row 1
+        dist, idx = dense_nn_query(grid, jnp.array(p[1:2]), radius=0.5)
+        if int(idx[0]) >= 0:
+            assert int(idx[0]) != 1

@@ -25,6 +25,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from umeregrobust_tpu.core.so3 import gram_schmidt, kabsch_rotation
+
 __all__ = [
     "moment_matrix",
     "orthonormalize",
@@ -77,9 +79,13 @@ def moment_matrix(
 
 
 def orthonormalize(F: jnp.ndarray) -> jnp.ndarray:
-    """Reduced QR of (..., d, 4) UME matrices -> orthonormal basis Q (..., d, 4)."""
-    Q, _ = jnp.linalg.qr(F.astype(jnp.float32))
-    return Q
+    """Orthonormal basis of (..., d, 4) UME matrix columns.
+
+    Modified Gram-Schmidt (core/so3.py) instead of batched jnp.linalg.qr:
+    only the column SPACE feeds the projection/distance math, and
+    LAPACK-shaped QR lowers to scalar loops on TPU (~30 ms for 2048
+    matrices where MGS costs ~1 ms)."""
+    return gram_schmidt(F.astype(jnp.float32))
 
 
 def subspace_projection(F: jnp.ndarray) -> jnp.ndarray:
@@ -151,15 +157,15 @@ def estimate_rigid_from_ume(
     left = g - wlc * mg  # (B,d,3) centered first moments
     right = h - wrc * mh
 
-    M = jnp.matmul(jnp.swapaxes(right, -1, -2), left,
-                   precision=jax.lax.Precision.HIGHEST)  # (B,3,3)
-    U, _, VH = jnp.linalg.svd(jnp.swapaxes(M, -1, -2))
+    # H = sum_d left_d right_d^T: the proper rotation min |R g - h| is the
+    # reference's sign-corrected SVD solution (utils/loc_utils.py:321-330),
+    # computed by the quaternion method (core/so3.py) — batched jnp.linalg.svd
+    # lowers to scalar loops on TPU.
+    Hcov = jnp.matmul(jnp.swapaxes(left, -1, -2), right,
+                      precision=jax.lax.Precision.HIGHEST)  # (B,3,3)
+    R = kabsch_rotation(Hcov)  # (B,3,3), maps source moments onto target
     with jax.default_matmul_precision("highest"):
-        det = jnp.linalg.det(U @ VH)
-        Q = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), M.shape).copy()
-        Q = Q.at[..., 2, 2].set(jnp.sign(det))
-        R = U @ Q @ VH  # (B,3,3)
-        b2 = wrc - wlc @ R  # (B,1,3) translation row
+        b2 = wrc - wlc @ jnp.swapaxes(R, -1, -2)  # (B,1,3) translation row
 
     if compute_distance:
         D = ume_distance(H, G)  # 0.707 * |P_H - P_G|_F (sqrt(2)/2 == 0.707)
@@ -169,7 +175,7 @@ def estimate_rigid_from_ume(
         D = jnp.zeros(G.shape[:-2], jnp.float32)
 
     T = jnp.zeros(G.shape[:-2] + (4, 4), dtype=jnp.float32)
-    T = T.at[..., :3, :3].set(jnp.swapaxes(R, -1, -2))
+    T = T.at[..., :3, :3].set(R)
     T = T.at[..., :3, 3].set(b2[..., 0, :])
     T = T.at[..., 3, 3].set(1.0)
     return T, D

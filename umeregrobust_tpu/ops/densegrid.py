@@ -1,0 +1,173 @@
+"""Dense-table grid index: radius-bounded NN with O(1) cell addressing.
+
+The hash-table grid (ops/gridnn.py) resolves each cell probe through an
+open-addressing while_loop — measured ~18 ms per ICP iteration at 4k
+queries on TPU v5e, 6x the cost of the actual candidate gathering. This
+index trades a bounded dense table for direct indexing: cells live in a
+static (Dx, Dy, Dz) box anchored at the target cloud's min cell, and a
+probe is a single clamped gather into a flattened run table.
+
+TPU-specific structure (gathers are the scarce resource on v5e):
+- z is the fastest-varying flat index, so the 3 z-neighbor cells of a
+  probe form ONE contiguous run in the sorted order: a query reads 9
+  (dx, dy) windows instead of 27 cells — 3x fewer candidate gathers.
+- points are pre-gathered into sorted order at build time, removing the
+  order[] indirection from the per-candidate hot path; masked rows are
+  parked at +inf so no mask gather is needed either.
+- (start, count) pack into one int32 word per cell (N < 2^15), halving
+  run-table gather traffic.
+
+Replaces the reference's Open3D/KDTree correspondence search
+(evaluate.py:93-96) for the ICP hot loop. Exactness: identical to the
+hash grid for every point inside the box while every 3-z-cell window
+holds <= budget points (see `max_cell_count`; 3 * max_cell_count <=
+budget is a sufficient condition). Points outside the static box get no
+correspondences, counted in `overflow` so callers can size the box; the
+default 384x384x96 box at 0.2-0.4 m cells covers 77-154 m x/y spans,
+beyond every shipped benchmark's correlator cloud.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["DenseGrid", "build_dense_grid", "dense_nn_query",
+           "max_cell_count"]
+
+DEFAULT_DIMS = (384, 384, 96)
+_FAR = 1e9  # parked coordinate for masked/padded rows
+
+
+class DenseGrid(NamedTuple):
+    points: jnp.ndarray  # (N, 3) original points (for callers; not queried)
+    points_sorted: jnp.ndarray  # (N+1, 3) points[order], masked rows at FAR
+    order: jnp.ndarray  # (N,) int32 rows sorted by flat cell id
+    runs: jnp.ndarray  # (C+1,) int32 packed start | count << 16
+    origin: jnp.ndarray  # (3,) int32 min cell coordinate (box anchor)
+    overflow: jnp.ndarray  # () int32 valid points outside the box
+    cell: float
+    dims: Tuple[int, int, int]
+
+
+@partial(jax.jit, static_argnames=("cell", "dims"))
+def _build(points, mask, cell, dims):
+    N = points.shape[0]
+    Dx, Dy, Dz = dims
+    C = Dx * Dy * Dz
+    cc = jnp.floor(points / cell).astype(jnp.int32)  # (N, 3)
+    big = jnp.int32(1 << 28)
+    origin = jnp.min(jnp.where(mask[:, None], cc, big), axis=0)
+    rel = cc - origin
+    inside = mask & jnp.all((rel >= 0) & (rel < jnp.asarray(dims)), axis=-1)
+    overflow = jnp.sum(mask & ~inside)
+    flat = (rel[:, 0] * Dy + rel[:, 1]) * Dz + rel[:, 2]
+    flat = jnp.where(inside, flat, jnp.int32(C))  # outside -> spill slot
+    order = jnp.argsort(flat).astype(jnp.int32)
+    f_sorted = flat[order]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    start = jnp.full((C + 1,), jnp.int32(N)).at[f_sorted].min(
+        pos, mode="drop")
+    end = jnp.zeros((C + 1,), jnp.int32).at[f_sorted].max(
+        pos + 1, mode="drop")
+    count = jnp.maximum(end - start, 0)
+    count = count.at[C].set(0)  # spill slot never matches
+    runs = jnp.where(count > 0, start, jnp.int32(N)) | (count << 16)
+    ps = jnp.where(mask[order, None], points[order], jnp.float32(_FAR))
+    ps = jnp.concatenate([ps, jnp.full((1, 3), jnp.float32(_FAR))], axis=0)
+    return order, ps, runs, origin, overflow
+
+
+def max_cell_count(grid: "DenseGrid") -> jnp.ndarray:
+    """Max points in any cell; queries are exact while every 3-z-cell
+    window holds <= budget points (3 * max_cell_count <= budget is a
+    sufficient bound). Reduce over the dense table; call outside hot
+    loops."""
+    return jnp.max(grid.runs >> 16)
+
+
+def build_dense_grid(
+    points: jnp.ndarray,
+    mask: jnp.ndarray,
+    cell: float,
+    dims: Tuple[int, int, int] = DEFAULT_DIMS,
+) -> DenseGrid:
+    """Index `points` for radius-bounded NN with search radius <= cell."""
+    if points.shape[0] > 32767:
+        raise ValueError("packed run table needs N <= 32767 points")
+    order, ps, runs, origin, overflow = _build(points, mask, float(cell),
+                                               tuple(dims))
+    return DenseGrid(points=points, points_sorted=ps, order=order, runs=runs,
+                     origin=origin, overflow=overflow, cell=float(cell),
+                     dims=tuple(dims))
+
+
+@partial(jax.jit, static_argnames=("radius", "budget", "cell", "dims"))
+def _query(points_sorted, order, runs, origin, queries, q_mask,
+           radius, budget, cell, dims):
+    M = queries.shape[0]
+    N = order.shape[0]
+    Dx, Dy, Dz = dims
+    C = Dx * Dy * Dz
+    r2 = jnp.float32(radius) ** 2
+
+    qc = jnp.floor(queries / cell).astype(jnp.int32) - origin  # (M, 3)
+    d1 = jnp.asarray([-1, 0, 1], jnp.int32)
+    oxy = jnp.stack(jnp.meshgrid(d1, d1, indexing="ij"), axis=-1).reshape(-1, 2)
+    pxy = qc[:, None, :2] + oxy[None, :, :]  # (M, 9, 2)
+    ok_xy = jnp.all((pxy >= 0) & (pxy < jnp.asarray(dims[:2])), axis=-1)
+    zlo = jnp.clip(qc[:, 2] - 1, 0, Dz - 1)[:, None]  # (M, 1)
+    zhi = jnp.clip(qc[:, 2] + 1, 0, Dz - 1)[:, None]
+    in_z = (qc[:, 2] >= -1) & (qc[:, 2] <= Dz)  # any overlap with the box
+    base = (pxy[..., 0] * Dy + pxy[..., 1]) * Dz  # (M, 9)
+    ok = ok_xy & in_z[:, None]
+    flat_lo = jnp.where(ok, base + zlo, jnp.int32(C))
+    flat_hi = jnp.where(ok, base + zhi, jnp.int32(C))
+
+    # window [s, e) over the sorted order covering the <=3 z cells
+    def run_bounds(flat3):  # (M, 9, 3) cell ids -> per-cell (start, end)
+        r = runs[flat3]
+        s = r & jnp.int32(0xFFFF)
+        c = r >> 16
+        return s, jnp.where(c > 0, s + c, 0)
+
+    zspan = jnp.stack([flat_lo,
+                       jnp.minimum(flat_lo + 1, flat_hi),
+                       flat_hi], axis=-1)  # (M, 9, 3)
+    s3, e3 = run_bounds(zspan)
+    s = jnp.min(s3, axis=-1)  # (M, 9) start=N for empty windows
+    e = jnp.max(e3, axis=-1)
+
+    j = jnp.arange(budget, dtype=jnp.int32)[None, None, :]
+    pos = s[..., None] + j  # (M, 9, budget)
+    pos = jnp.where((pos < e[..., None]), pos, N)  # N -> FAR sentinel row
+    cand = points_sorted[pos.reshape(M, -1)]  # (M, 9*budget, 3)
+    d2 = jnp.sum((queries[:, None, :] - cand) ** 2, axis=-1)
+    d2 = jnp.where(d2 <= r2, d2, jnp.float32(1e30))
+    k = jnp.argmin(d2, axis=-1)
+    bd2 = jnp.take_along_axis(d2, k[:, None], axis=-1)[:, 0]
+    bpos = jnp.take_along_axis(pos.reshape(M, -1), k[:, None], axis=-1)[:, 0]
+    hit = (bd2 < 1e29) & q_mask
+    bidx = jnp.where(hit, order[jnp.minimum(bpos, N - 1)], jnp.int32(-1))
+    return jnp.sqrt(jnp.maximum(jnp.where(hit, bd2, 0.0), 0.0)), bidx
+
+
+def dense_nn_query(
+    grid: DenseGrid,
+    queries: jnp.ndarray,
+    radius: float,
+    q_mask: jnp.ndarray | None = None,
+    budget: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest neighbor within `radius` (<= grid.cell). Returns (dist, idx);
+    idx == -1 when no neighbor within radius (or the query is masked).
+    `budget` caps candidates per (dx, dy) 3-z-cell window; exact while every
+    window holds <= budget points (see max_cell_count)."""
+    assert radius <= grid.cell + 1e-9, "search radius must fit the cell size"
+    if q_mask is None:
+        q_mask = jnp.ones((queries.shape[0],), bool)
+    return _query(grid.points_sorted, grid.order, grid.runs, grid.origin,
+                  queries, q_mask, float(radius), int(budget),
+                  grid.cell, grid.dims)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from umeregrobust_tpu.models.resunet import ArchSpec, build_unet_geometry, resunet_apply
-from umeregrobust_tpu.ops.gridnn import build_grid
+from umeregrobust_tpu.ops.densegrid import DEFAULT_DIMS, build_dense_grid
 from umeregrobust_tpu.pipeline.icp import _icp_loop
 from umeregrobust_tpu.pipeline.registration import (
     RegistrationConfig,
@@ -75,11 +75,12 @@ def register_pair_e2e(
         stages.append((float(cfg.icp_coarse_corr), int(cfg.icp_coarse_iter), 32))
     stages.append((float(cfg.icp_max_corr), int(cfg.icp_max_iter), 8))
     for corr, iters, budget in stages:
-        grid = build_grid(corr_tgt_pts, corr_tgt_mask, cell=corr)
-        arrays = (grid.points, grid.mask, grid.order, grid.cell_table,
-                  grid.start, grid.count, None)
+        grid = build_dense_grid(corr_tgt_pts, corr_tgt_mask, cell=corr,
+                                dims=DEFAULT_DIMS)
+        arrays = (grid.points, grid.points_sorted, grid.order, grid.runs,
+                  grid.origin, grid.overflow)
         T_cur, _, _, _ = _icp_loop(corr_src_pts, corr_src_mask, arrays, T_cur,
-                                   corr, iters, budget)
+                                   corr, iters, budget, DEFAULT_DIMS)
     return best_T, T_cur
 
 

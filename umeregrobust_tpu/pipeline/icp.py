@@ -16,8 +16,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from umeregrobust_tpu.core.so3 import kabsch_rotation
 from umeregrobust_tpu.core.transforms import make_transform
-from umeregrobust_tpu.ops.gridnn import GridIndex, build_grid, nn_query
+from umeregrobust_tpu.ops.densegrid import (
+    DenseGrid, build_dense_grid, dense_nn_query)
 
 __all__ = ["umeyama", "icp_point_to_point"]
 
@@ -41,24 +43,26 @@ def _umeyama_hp(p, q, w):
         cq = jnp.sum(q * wn, axis=0)
         pc = (p - cp) * wn
         qc = q - cq
-        H = pc.T @ qc  # (3,3)
-        U, _, VT = jnp.linalg.svd(H)
-        d = jnp.sign(jnp.linalg.det(VT.T @ U.T))
-        S = jnp.diag(jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
-        R = VT.T @ S @ U.T
+        H = pc.T @ qc  # (3,3) = sum_i w_i p_i q_i^T
+        # proper rotation min sum w |R p - q|^2; quaternion method instead
+        # of jnp.linalg.svd (a single unbatched TPU SVD costs ~10 ms *per
+        # ICP iteration*; the Jacobi solve is a few fused microkernels)
+        R = kabsch_rotation(H)
         t = cq - R @ cp
         return make_transform(R, t)
 
 
-@partial(jax.jit, static_argnames=("max_corr", "max_iter", "budget"))
-def _icp_loop(src, src_mask, grid_arrays, init_T, max_corr, max_iter, budget):
-    grid = GridIndex(*grid_arrays[:-1], cell=max_corr)
+@partial(jax.jit,
+         static_argnames=("max_corr", "max_iter", "budget", "dims"))
+def _icp_loop(src, src_mask, grid_arrays, init_T, max_corr, max_iter, budget,
+              dims):
+    grid = DenseGrid(*grid_arrays, cell=max_corr, dims=dims)
 
     def corr_and_update(T):
         src_t = jnp.matmul(src, T[:3, :3].T,
                            precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
-        dist, idx = nn_query(grid, src_t, radius=max_corr, q_mask=src_mask,
-                             budget=budget)
+        dist, idx = dense_nn_query(grid, src_t, radius=max_corr,
+                                   q_mask=src_mask, budget=budget)
         ok = (idx >= 0) & src_mask
         w = ok.astype(jnp.float32)
         q = grid.points[jnp.where(ok, idx, 0)]
@@ -103,6 +107,7 @@ def icp_point_to_point(
     src_mask: jnp.ndarray | None = None,
     tgt_mask: jnp.ndarray | None = None,
     budget: int = 8,
+    dims: Tuple[int, int, int] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Refine init_T with point-to-point ICP. Returns (T, rmse, fitness).
 
@@ -110,13 +115,18 @@ def icp_point_to_point(
     >= 0.3 m-voxelized clouds) cells hold a handful of points, so 8 is
     lossless in practice and 4x cheaper than a conservative 32.
     """
+    from umeregrobust_tpu.ops.densegrid import DEFAULT_DIMS
+
     if src_mask is None:
         src_mask = jnp.ones((src.shape[0],), bool)
     if tgt_mask is None:
         tgt_mask = jnp.ones((tgt.shape[0],), bool)
-    grid = build_grid(tgt, tgt_mask, cell=max_corr)
-    arrays = (grid.points, grid.mask, grid.order, grid.cell_table, grid.start,
-              grid.count, None)
+    if dims is None:
+        dims = DEFAULT_DIMS
+    grid = build_dense_grid(tgt, tgt_mask, cell=max_corr, dims=dims)
+    arrays = (grid.points, grid.points_sorted, grid.order, grid.runs,
+              grid.origin, grid.overflow)
     T, rmse, fit, _ = _icp_loop(src, src_mask, arrays, init_T,
-                                float(max_corr), int(max_iter), int(budget))
+                                float(max_corr), int(max_iter), int(budget),
+                                tuple(dims))
     return T, rmse, fit
