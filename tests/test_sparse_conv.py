@@ -169,3 +169,59 @@ class TestBatchNorm:
             jnp.array(rm), jnp.array(rv), train=False)
         want = (f - 0.5) / np.sqrt(2.0 + 1e-5)
         np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+class TestGeometryEquivalence:
+    """build_unet_geometry's symmetric/adjoint fast path must produce the
+    exact maps the generic per-map builders produce."""
+
+    def _check(self, rng, arch_name):
+        from umeregrobust_tpu.models.resunet import (
+            ARCHS, _tensor_strides, build_unet_geometry)
+        from umeregrobust_tpu.ops.sparse import (
+            build_conv_map, build_self_map, build_transpose_map, make_level)
+
+        arch = ARCHS[arch_name]
+        L = len(arch.channels)
+        n = 150
+        coords = np.unique(np.concatenate(
+            [rng.integers(0, 2, (2 * n, 1)),
+             rng.integers(-16, 16, (2 * n, 3))], axis=1).astype(np.int32),
+            axis=0)[:n]
+        cap = 192
+        c4 = np.full((cap, 4), 2**20, np.int32)
+        c4[: len(coords)] = coords
+        mask = np.arange(cap) < len(coords)
+        caps = tuple(cap for _ in range(L))
+        geom = build_unet_geometry(jnp.asarray(c4), jnp.asarray(mask), arch,
+                                   caps)
+        ts = _tensor_strides(arch)
+        levels = geom["levels"]
+        for lv in range(L):
+            ref_block = build_self_map(levels[lv], 3, ts[lv])
+            np.testing.assert_array_equal(
+                np.asarray(geom["block_maps"][lv]), np.asarray(ref_block),
+                err_msg=f"block map level {lv}")
+        ref_stem = build_self_map(levels[0], arch.kernel_sizes[0], ts[0])
+        np.testing.assert_array_equal(
+            np.asarray(geom["enc_maps"][0]), np.asarray(ref_stem))
+        for lv in range(1, L):
+            ref_enc = build_conv_map(levels[lv - 1], levels[lv],
+                                     arch.kernel_sizes[lv], ts[lv - 1])
+            np.testing.assert_array_equal(
+                np.asarray(geom["enc_maps"][lv]), np.asarray(ref_enc),
+                err_msg=f"enc map level {lv}")
+            ref_dec = build_transpose_map(levels[lv], levels[lv - 1],
+                                          arch.kernel_sizes[lv], ts[lv - 1])
+            np.testing.assert_array_equal(
+                np.asarray(geom["dec_maps"][L - 1 - lv]), np.asarray(ref_dec),
+                err_msg=f"dec map level {lv}")
+
+    def test_resunetsmall2(self, rng):
+        self._check(rng, "ResUNetSmall2")
+
+    def test_resunet_k7_stride4(self, rng):
+        self._check(rng, "ResUNet")
+
+    def test_resunet2_k5_stride2(self, rng):
+        self._check(rng, "ResUNet2")

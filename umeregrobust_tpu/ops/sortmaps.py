@@ -62,13 +62,16 @@ def batched_sorted_lookup(
 
     hi = jnp.concatenate([k_hi, q_hi])
     lo = jnp.concatenate([k_lo, q_lo])
-    is_query = jnp.concatenate(
-        [jnp.zeros((N,), jnp.int32), jnp.ones((M,), jnp.int32)])
-    rows = jnp.concatenate(
-        [jnp.arange(N, dtype=jnp.int32), jnp.arange(M, dtype=jnp.int32)])
+    # is_query and the row id share one word (bit 30 = is_query): one less
+    # array through the sort, same ordering (keys precede their queries;
+    # relative order among tied queries is irrelevant).
+    isq_row = jnp.concatenate(
+        [jnp.arange(N, dtype=jnp.int32),
+         jnp.arange(M, dtype=jnp.int32) | jnp.int32(1 << 30)])
 
-    hi_s, lo_s, isq_s, row_s = jax.lax.sort(
-        (hi, lo, is_query, rows), num_keys=3)
+    hi_s, lo_s, isqrow_s = jax.lax.sort((hi, lo, isq_row), num_keys=3)
+    isq_s = isqrow_s >> 30
+    row_s = isqrow_s & jnp.int32((1 << 30) - 1)
 
     pos = jnp.arange(total, dtype=jnp.int32)
     key_pos = jnp.where((isq_s == 0) & (hi_s < _QUERY_SENTINEL), pos,

@@ -118,33 +118,96 @@ def build_transpose_map(
 
 def build_level_maps(
     key_level: Level,
-    requests: Sequence[Tuple[jnp.ndarray, jnp.ndarray, np.ndarray, int]],
+    requests: Sequence[Tuple[jnp.ndarray, jnp.ndarray, Optional[np.ndarray], int]],
 ) -> list:
     """Resolve several kernel maps against ONE key set with a single sort.
 
-    requests: list of (out_coords, out_mask, offsets, sign) per map.
-    Returns one (K_vol, N_out) int32 array per request. This is the batched
-    fast path used by build_unet_geometry: every conv touching a level
-    contributes its queries to the same sort.
+    requests: list of (out_coords, out_mask, offsets, sign) per map, OR
+    (queries, query_mask, None, _) for a pre-built query set of any leading
+    shape (queries (..., 4), mask (...)); the result keeps that shape.
+    Returns one int32 lookup array per request ((K_vol, N_out) for offset
+    requests). This is the batched fast path used by build_unet_geometry:
+    every lookup touching a level contributes its queries to the same sort.
     """
     qs, qms, shapes = [], [], []
     for out_coords, out_mask, offsets, sign in requests:
-        offs = jnp.asarray(offsets)
-        K = offs.shape[0]
-        N_out = out_coords.shape[0]
-        q = (out_coords[None, :, :] + sign * offs[:, None, :]).reshape(-1, 4)
-        qm = jnp.broadcast_to(out_mask[None, :], (K, N_out)).reshape(-1)
+        if offsets is None:
+            q = out_coords.reshape(-1, 4)
+            qm = out_mask.reshape(-1)
+            shapes.append(tuple(out_mask.shape))
+        else:
+            offs = jnp.asarray(offsets)
+            K = offs.shape[0]
+            N_out = out_coords.shape[0]
+            q = (out_coords[None, :, :] + sign * offs[:, None, :]).reshape(-1, 4)
+            qm = jnp.broadcast_to(out_mask[None, :], (K, N_out)).reshape(-1)
+            shapes.append((K, N_out))
         qs.append(q)
         qms.append(qm)
-        shapes.append((K, N_out))
     res = batched_sorted_lookup(
         key_level.coords, key_level.mask,
         jnp.concatenate(qs, axis=0), jnp.concatenate(qms, axis=0))
     out, ofs = [], 0
-    for K, N_out in shapes:
-        out.append(res[ofs: ofs + K * N_out].reshape(K, N_out))
-        ofs += K * N_out
+    for shape in shapes:
+        n = int(np.prod(shape))
+        out.append(res[ofs: ofs + n].reshape(shape))
+        ofs += n
     return out
+
+
+class InterfaceCandidates(NamedTuple):
+    coords: jnp.ndarray  # (J^3, N_fine, 4) candidate coarse coordinates
+    valid: jnp.ndarray  # (J^3, N_fine) candidate validity
+    kidx: jnp.ndarray  # (J^3, N_fine) kernel-offset index of each candidate
+
+
+def interface_candidates(
+    fine_level: Level, kernel: int, t: int, stride: int
+) -> InterfaceCandidates:
+    """Candidate coarse parents of every fine voxel at a strided interface.
+
+    A strided conv (kernel k, input tensor stride t, stride s) connects
+    coarse voxel b to fine voxel a iff a = b + delta, delta in
+    {-rt..rt}^3, with b on the st-lattice. Viewed from the FINE side, each
+    dimension admits only the deltas congruent to a mod st — at most
+    J = floor(2r/s) + 1 of them — so each fine voxel has at most J^3
+    candidate parents (vs k^3 queries per coarse voxel from the output
+    side). ONE lookup of these candidates yields both the encoder map and
+    (by the adjoint relation) the decoder transpose map.
+    """
+    r = kernel // 2
+    st = stride * t
+    J = (2 * r) // stride + 1
+    a_sp = fine_level.coords[:, 1:]  # (N, 3)
+    m = jnp.mod(a_sp, st)  # nonneg residues
+    dmin = m - st * ((m + r * t) // st)  # smallest delta >= -rt, === m (st)
+    jj = np.stack(np.meshgrid(*([np.arange(J)] * 3), indexing="ij"),
+                  axis=-1).reshape(-1, 3).astype(np.int32)  # (J^3, 3)
+    delta = dmin[None, :, :] + jnp.asarray(jj)[:, None, :] * st
+    valid = jnp.all(delta <= r * t, axis=-1) & fine_level.mask[None, :]
+    b_sp = a_sp[None, :, :] - delta  # (J^3, N, 3)
+    b = jnp.concatenate(
+        [jnp.broadcast_to(fine_level.coords[None, :, :1], b_sp.shape[:2] + (1,)),
+         b_sp], axis=-1)
+    k1d = delta // t + r
+    kidx = (k1d[..., 0] * kernel + k1d[..., 1]) * kernel + k1d[..., 2]
+    return InterfaceCandidates(coords=b, valid=valid,
+                               kidx=kidx.astype(jnp.int32))
+
+
+def invert_map_batch(fwd: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """Invert K lookup maps at once: inv[k][fwd[k][i]] = i (else -1).
+
+    fwd: (K, N_in) int32 rows into [0, n_out), -1 absent. Each map is
+    injective (a voxel has at most one neighbor at a fixed offset), so the
+    scatter has no collisions."""
+    K, N_in = fwd.shape
+    karange = jnp.arange(K, dtype=jnp.int32)[:, None]
+    dst = jnp.where(fwd >= 0, karange * n_out + fwd, jnp.int32(K * n_out))
+    src = jnp.broadcast_to(jnp.arange(N_in, dtype=jnp.int32)[None], fwd.shape)
+    inv = jnp.full((K * n_out,), jnp.int32(-1)).at[
+        dst.reshape(-1)].set(src.reshape(-1), mode="drop")
+    return inv.reshape(K, n_out)
 
 
 @partial(jax.jit, static_argnames=("out_stride", "capacity"))
