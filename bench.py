@@ -59,7 +59,7 @@ def main():
         log("no pretrained checkpoint -> random init")
     cfg = RegistrationConfig(
         num_init_keypoints=2048, ume_n_samples=512,
-        corr_coarse_src=1024, corr_rescore_top=32,
+        corr_coarse_src=1024, corr_coarse_tgt=1024, corr_rescore_top=32,
         icp_max_corr=0.4, icp_max_iter=60,
         icp_coarse_corr=None)
 

@@ -83,6 +83,7 @@ def _registration_cfg(args) -> RegistrationConfig:
         corr_knn=int(getattr(args, "corr_knn", defaults.corr_knn)),
         corr_var_knn=int(getattr(args, "corr_var_knn", defaults.corr_var_knn)),
         corr_coarse_src=int(getattr(args, "corr_coarse_src", 1024)) or None,
+        corr_coarse_tgt=int(getattr(args, "corr_coarse_tgt", 0)) or None,
         corr_rescore_top=int(getattr(args, "corr_rescore_top", 64)),
         icp_max_corr=float(getattr(args, "icp_max_corr", 0.2)),
         icp_max_iter=int(getattr(args, "icp_max_iter", 200)),

@@ -126,11 +126,15 @@ def build_unet_geometry(
     """
     from umeregrobust_tpu.ops.sparse import (
         build_level_maps, interface_candidates, invert_map_batch,
-        kernel_offsets)
+        kernel_offsets, sort_level)
 
     L = len(arch.channels)
     ts = _tensor_strides(arch)
-    levels: List[Level] = [make_level(coords, mask)]
+    # level 0 in canonical code-sorted order (the sorted_join precondition;
+    # deeper levels come pre-sorted out of downsample_coords). order0/inv0
+    # let resunet_apply accept/return features in the caller's row order.
+    level0, order0, inv0 = sort_level(coords, mask)
+    levels: List[Level] = [level0]
     for i in range(1, L):
         c, m = downsample_coords(levels[i - 1].coords, levels[i - 1].mask,
                                  out_stride=ts[i], capacity=int(capacities[i]))
@@ -202,6 +206,8 @@ def build_unet_geometry(
         "enc_maps": enc_maps,
         "block_maps": block_maps,
         "dec_maps": dec_maps,
+        "order0": order0,  # sorted position -> caller row
+        "inv0": inv0,  # caller row -> sorted position
     }
 
 
@@ -326,7 +332,9 @@ def resunet_apply(
     new_state: Dict[str, Any] = {}
 
     skips = []
-    out = in_feats
+    # into canonical sorted space (level 0 is code-sorted; see
+    # build_unet_geometry) — callers keep their own row order.
+    out = in_feats[geom["order0"]]
     for i in range(L):
         mask = levels[i].mask
         out = sparse_conv(out, params[f"conv{i+1}"]["w"], geom["enc_maps"][i],
@@ -363,4 +371,5 @@ def resunet_apply(
                      preferred_element_type=jnp.float32) + params["final"]["b"][None, :]
     if normalize_feature:
         out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-12)
-    return out * mask0[:, None], new_state
+    out = out * mask0[:, None]
+    return out[geom["inv0"]], new_state  # back to the caller's row order

@@ -26,10 +26,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["batched_sorted_lookup", "pack_coords"]
+__all__ = ["batched_sorted_lookup", "sorted_join", "pack_coords"]
 
 _KEY_SENTINEL = jnp.int32(0x7FFFFFF0)
 _QUERY_SENTINEL = jnp.int32(0x7FFFFF00)
+KEY_SENTINEL = _KEY_SENTINEL
+QUERY_SENTINEL = _QUERY_SENTINEL
 
 
 def pack_coords(c: jnp.ndarray, valid: jnp.ndarray,
@@ -88,3 +90,61 @@ def batched_sorted_lookup(
     # invalid queries carry the sentinel and can only "match" nothing; the
     # sentinel groups guarantee nbr == -1 there already.
     return out
+
+
+def sorted_join(
+    key_hi: jnp.ndarray,  # (N,) packed word 1, sorted ascending
+    key_lo: jnp.ndarray,  # (N,) packed word 2 (lex-sorted with key_hi)
+    q_hi: jnp.ndarray,  # (M,)
+    q_lo: jnp.ndarray,  # (M,)
+) -> jnp.ndarray:
+    """Row index into the keys for every query (-1 if absent/invalid) —
+    the gather-free fast path of `batched_sorted_lookup`.
+
+    PRECONDITION: the key words are lexicographically sorted with all
+    invalid entries packed to `KEY_SENTINEL` (which sorts after every valid
+    code), i.e. the level is in canonical code-sorted order with a valid
+    prefix. Queries carry `QUERY_SENTINEL` when invalid.
+
+    Under that precondition a key's row index equals its RANK among keys in
+    the joint sorted order, so the three payload gathers of the generic
+    join (hi_s[safe], lo_s[safe], row_s[safe] — the dominant cost on TPU,
+    where 1-wide gathers run ~7 ns/element) collapse into a cumsum and a
+    run-boundary cummax:
+
+      - a query matches iff the nearest preceding KEY lies in the same
+        equal-code run: last_key_pos >= last_boundary_pos;
+      - the matched row is then cumsum(is_key) - 1 at the query position.
+    """
+    N = key_hi.shape[0]
+    M = q_hi.shape[0]
+    T = N + M
+
+    hi = jnp.concatenate([key_hi, q_hi])
+    lo = jnp.concatenate([key_lo, q_lo])
+    # payload: keys -> 0 (unique codes, ties only among sentinel padding);
+    # queries -> row | bit30. Keys sort before their equal-code queries.
+    payload = jnp.concatenate([
+        jnp.zeros((N,), jnp.int32),
+        jnp.arange(M, dtype=jnp.int32) | jnp.int32(1 << 30),
+    ])
+    hi_s, lo_s, pay_s = jax.lax.sort((hi, lo, payload), num_keys=3)
+    is_key = pay_s < jnp.int32(1 << 30)
+
+    pos = jnp.arange(T, dtype=jnp.int32)
+    last_key = jax.lax.cummax(jnp.where(is_key, pos, jnp.int32(-1)))
+    bnd = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.where((hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+                  pos[1:], jnp.int32(0)),
+    ])
+    last_bnd = jax.lax.cummax(bnd)
+    rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1
+    # sentinel runs never cross-match: KEY_SENTINEL != QUERY_SENTINEL and
+    # both sort after every valid code.
+    matched = (last_key >= last_bnd) & (last_key >= 0)
+    nbr = jnp.where(matched, rank, jnp.int32(-1))
+
+    q_row = pay_s & jnp.int32((1 << 30) - 1)
+    dst = jnp.where(is_key, jnp.int32(M), q_row)
+    return jnp.full((M,), jnp.int32(-1)).at[dst].set(nbr, mode="drop")

@@ -38,7 +38,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from umeregrobust_tpu.ops.neighbors import gather_padded
-from umeregrobust_tpu.ops.sortmaps import batched_sorted_lookup
+from umeregrobust_tpu.ops.sortmaps import (
+    KEY_SENTINEL,
+    QUERY_SENTINEL,
+    batched_sorted_lookup,
+    pack_coords,
+    sorted_join,
+)
 
 __all__ = [
     "Level",
@@ -46,6 +52,7 @@ __all__ = [
     "build_self_map",
     "build_level_maps",
     "downsample_coords",
+    "sort_level",
     "build_conv_map",
     "build_transpose_map",
     "sparse_conv",
@@ -122,6 +129,10 @@ def build_level_maps(
 ) -> list:
     """Resolve several kernel maps against ONE key set with a single sort.
 
+    PRECONDITION: key_level is in canonical code-sorted order with a valid
+    prefix (produced by `sort_level` / `downsample_coords`) — this enables
+    the gather-free `sorted_join` fast path.
+
     requests: list of (out_coords, out_mask, offsets, sign) per map, OR
     (queries, query_mask, None, _) for a pre-built query set of any leading
     shape (queries (..., 4), mask (...)); the result keeps that shape.
@@ -144,9 +155,11 @@ def build_level_maps(
             shapes.append((K, N_out))
         qs.append(q)
         qms.append(qm)
-    res = batched_sorted_lookup(
-        key_level.coords, key_level.mask,
-        jnp.concatenate(qs, axis=0), jnp.concatenate(qms, axis=0))
+    k_hi, k_lo = pack_coords(key_level.coords, key_level.mask, KEY_SENTINEL)
+    q_all = jnp.concatenate(qs, axis=0)
+    qm_all = jnp.concatenate(qms, axis=0)
+    q_hi, q_lo = pack_coords(q_all, qm_all, QUERY_SENTINEL)
+    res = sorted_join(k_hi, k_lo, q_hi, q_lo)
     out, ofs = [], 0
     for shape in shapes:
         n = int(np.prod(shape))
@@ -219,33 +232,51 @@ def downsample_coords(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Unique stride-quantized coordinates (ME strided-conv output map).
 
-    out = unique(floor(c / out_stride) * out_stride), deterministic order =
-    first occurrence in input row order. Returns (coords (capacity, 4),
-    mask (capacity,)). Overflow beyond capacity is dropped (tracked by the
-    mask sum; callers size capacities generously). Sort-based: one 5-key
-    sort finds the unique keys and their first-occurrence rows.
+    out = unique(floor(c / out_stride) * out_stride) in canonical
+    code-sorted order with a valid prefix (the `sorted_join` precondition;
+    coordinate order is semantically free — features are per-coordinate).
+    Returns (coords (capacity, 4), mask (capacity,)). Overflow beyond
+    capacity is dropped (tracked by the mask sum; callers size capacities
+    generously).
     """
-    from umeregrobust_tpu.ops.sortmaps import pack_coords
-
     N = coords.shape[0]
     s = jnp.int32(out_stride)
     q = jnp.concatenate(
         [coords[:, :1], (coords[:, 1:] // s) * s], axis=-1  # floor-div
     )
     rows = jnp.arange(N, dtype=jnp.int32)
-    hi, lo = pack_coords(q, mask, jnp.int32(0x7FFFFFF0))
+    hi, lo = pack_coords(q, mask, KEY_SENTINEL)
     hi_s, lo_s, row_s = jax.lax.sort((hi, lo, rows), num_keys=3)
+    valid_s = hi_s < QUERY_SENTINEL
     first = jnp.concatenate([
         jnp.ones((1,), bool),
         (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
-    ]) & mask[row_s]
-    # representatives in input-row order (reference first-occurrence order)
-    rep_row = jnp.where(first, row_s, jnp.int32(N))
-    rep_sorted = jnp.sort(rep_row)[:capacity]
-    out_mask = rep_sorted < N
-    safe = jnp.where(out_mask, rep_sorted, 0)
-    out_coords = q[safe]
+    ]) & valid_s
+    pos = jnp.cumsum(first.astype(jnp.int32)) - 1  # slot in sorted order
+    n_unique = jnp.sum(first.astype(jnp.int32))
+    dst = jnp.where(first & (pos < capacity), pos, jnp.int32(capacity))
+    out_coords = jnp.zeros((capacity, 4), jnp.int32).at[dst].set(
+        q[row_s], mode="drop")
+    out_mask = jnp.arange(capacity) < jnp.minimum(n_unique, capacity)
     return out_coords, out_mask
+
+
+def sort_level(
+    coords: jnp.ndarray, mask: jnp.ndarray
+) -> Tuple[Level, jnp.ndarray, jnp.ndarray]:
+    """Canonicalize a level into code-sorted order with a valid prefix.
+
+    Returns (sorted Level, order, inv): order[p] = original row at sorted
+    position p; inv[i] = sorted position of original row i. Establishes the
+    `sorted_join` precondition for level 0 of the UNet pyramid (deeper
+    levels come pre-sorted out of `downsample_coords`).
+    """
+    N = coords.shape[0]
+    hi, lo = pack_coords(coords, mask, KEY_SENTINEL)
+    rows = jnp.arange(N, dtype=jnp.int32)
+    _, _, order = jax.lax.sort((hi, lo, rows), num_keys=3)
+    inv = jnp.zeros((N,), jnp.int32).at[order].set(rows)
+    return Level(coords=coords[order], mask=mask[order]), order, inv
 
 
 def sparse_conv(

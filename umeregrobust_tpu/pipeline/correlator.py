@@ -34,6 +34,8 @@ __all__ = [
     "feature_spatial_var",
     "prepare_weighted_features",
     "correlator_scores",
+    "correlator_scores_radius",
+    "correlator_scores_radius_fused",
     "select_best_transform",
 ]
 
@@ -219,8 +221,53 @@ def correlator_scores_radius(
     return scores.reshape(-1)[:H]
 
 
+@partial(jax.jit, static_argnames=("sigma", "radius_factor", "ts", "tt"))
+def correlator_scores_radius_fused(
+    src_pts: jnp.ndarray,
+    src_featw: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    tgt_pts: jnp.ndarray,
+    tgt_featw: jnp.ndarray,
+    tgt_mask: jnp.ndarray,
+    Ts: jnp.ndarray,
+    sigma: float = 1.5,
+    radius_factor: float = 2.0,
+    ts: int = 256,
+    tt: int = 512,
+) -> jnp.ndarray:
+    """Radius-capped scores via the fused Pallas kernel (ops/pallas_corr.py)
+    — numerically equivalent to `correlator_scores_radius` but with zero
+    HBM intermediates (the XLA path round-trips an (S, T) weight matrix per
+    hypothesis block and is bandwidth-bound)."""
+    from umeregrobust_tpu.ops.pallas_corr import corr_scores_fused
+
+    N = src_pts.shape[0]
+    H = Ts.shape[0]
+    spad = (-N) % ts
+    sp = jnp.pad(src_pts, ((0, spad), (0, 0)))
+    sf = jnp.pad(src_featw * src_mask[:, None], ((0, spad), (0, 0)))
+    T_n = tgt_pts.shape[0]
+    tpad = (-T_n) % tt
+    tp = jnp.pad(tgt_pts, ((0, tpad), (0, 0)))
+    tf = jnp.pad(tgt_featw * tgt_mask[:, None], ((0, tpad), (0, 0)))
+
+    R = Ts[:, :3, :3].astype(jnp.float32)
+    t = Ts[:, :3, 3].astype(jnp.float32)
+    pts_t = jnp.einsum("nj,hij->hni", sp, R,
+                       precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
+    pts_t4 = jnp.concatenate(
+        [pts_t, jnp.zeros(pts_t.shape[:2] + (1,), jnp.float32)], axis=-1)
+    tp4 = jnp.concatenate([tp, jnp.zeros((tp.shape[0], 1), jnp.float32)],
+                          axis=-1)
+    scores = corr_scores_fused(pts_t4, sf, tp4, tf, sigma=sigma,
+                               radius_factor=radius_factor, ts=ts, tt=tt)
+    return scores / jnp.float32(N)
+
+
 def _score(mode, *a, knn_k=20, sigma=1.5, chunk=1024):
     if mode == "radius":
+        if jax.default_backend() == "tpu":
+            return correlator_scores_radius_fused(*a, sigma=sigma)
         return correlator_scores_radius(*a, sigma=sigma, chunk=chunk)
     return correlator_scores(*a, knn_k=knn_k, sigma=sigma, chunk=chunk)
 
@@ -237,6 +284,7 @@ def select_best_transform(
     knn_k: int = 20,
     var_knn: int = 50,
     coarse_src: Optional[int] = 1024,
+    coarse_tgt: Optional[int] = None,
     rescore_top: int = 64,
     key: Optional[jax.Array] = None,
     mode: str = "knn",
@@ -245,10 +293,12 @@ def select_best_transform(
     (best_T, scores).
 
     Two-stage when coarse_src is set and smaller than the source size:
-    coarse scores on a subsampled source select `rescore_top` candidates
-    for exact scoring (coarse_src=None => single-stage, reference parity).
-    mode='knn' is the reference's kNN-20 cap; mode='radius' is the
-    MXU-native radius-capped variant (correlator_scores_radius).
+    coarse scores on a subsampled source (and, when coarse_tgt is set, a
+    subsampled target — the coarse pass only has to land the winner inside
+    `rescore_top`) select candidates for exact scoring (coarse_src=None =>
+    single-stage, reference parity). mode='knn' is the reference's kNN-20
+    cap; mode='radius' is the MXU-native radius-capped variant
+    (correlator_scores_radius / the fused Pallas kernel on TPU).
     """
     fs, ft = prepare_weighted_features(
         src_pts, src_feat, src_mask, tgt_pts, tgt_feat, tgt_mask, var_knn=var_knn)
@@ -256,9 +306,15 @@ def select_best_transform(
     if coarse_src is not None and coarse_src < src_pts.shape[0] and H > rescore_top:
         if key is None:
             key = jax.random.PRNGKey(0)
-        sel = jax.random.choice(key, src_pts.shape[0], (coarse_src,), replace=False)
+        k_src, k_tgt = jax.random.split(key)
+        sel = jax.random.choice(k_src, src_pts.shape[0], (coarse_src,), replace=False)
+        ctp, ctf, ctm = tgt_pts, ft, tgt_mask
+        if coarse_tgt is not None and coarse_tgt < tgt_pts.shape[0]:
+            tsel = jax.random.choice(k_tgt, tgt_pts.shape[0], (coarse_tgt,),
+                                     replace=False)
+            ctp, ctf, ctm = tgt_pts[tsel], ft[tsel], tgt_mask[tsel]
         coarse = _score(
-            mode, src_pts[sel], fs[sel], src_mask[sel], tgt_pts, ft, tgt_mask,
+            mode, src_pts[sel], fs[sel], src_mask[sel], ctp, ctf, ctm,
             Ts, knn_k=knn_k, sigma=sigma, chunk=min(1024, coarse_src))
         _, top_idx = jax.lax.top_k(coarse, rescore_top)
         Ts_top = Ts[top_idx]

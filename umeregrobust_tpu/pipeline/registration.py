@@ -50,6 +50,7 @@ class RegistrationConfig:
     corr_knn: int = 20
     corr_var_knn: int = 50
     corr_coarse_src: Optional[int] = 1024  # None => exact single-stage
+    corr_coarse_tgt: Optional[int] = None  # subsample tgt in the coarse pass
     corr_rescore_top: int = 64
     # 'radius' is the MXU-native fast path (~500x faster hypothesis scoring
     # than the kNN-20 cap on TPU); 'knn' reproduces the reference exactly.
@@ -156,6 +157,7 @@ def _hypotheses_and_select(
         corr_tgt_pts, corr_tgt_feat, corr_tgt_mask,
         Ts, sigma=cfg.corr_kernel_sigma, knn_k=cfg.corr_knn,
         var_knn=cfg.corr_var_knn, coarse_src=cfg.corr_coarse_src,
+        coarse_tgt=cfg.corr_coarse_tgt,
         rescore_top=cfg.corr_rescore_top, key=k_corr, mode=cfg.corr_mode)
     return best_T, Ts, scores
 
