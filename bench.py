@@ -44,7 +44,16 @@ def main():
     log(f"devices: {jax.devices()}")
     SEM_CAP = 16384
     CORR_CAP = 4096
-    N_PAIRS = 6
+    # regime suite mirroring the reference's benchmark families
+    # (BASELINE.md: kitti / rotkitti 150-180 deg / lokitti low-overlap)
+    REGIMES = {
+        "nominal": dict(max_rotation_deg=120, max_translation=8.0),
+        "rotheavy": dict(max_rotation_deg=180, min_rotation_deg=150,
+                         max_translation=8.0),
+        "lowoverlap": dict(max_rotation_deg=120, max_translation=12.0,
+                           sector_deg=250.0),
+    }
+    N_PER_REGIME = 7
     arch = ARCHS["ResUNetSmall2"]
     caps = (SEM_CAP, 12288, 6144, 3072, 1024)
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -63,10 +72,10 @@ def main():
         icp_max_corr=0.4, icp_max_iter=60,
         icp_coarse_corr=None)
 
-    def prep_pair(seed):
+    def prep_pair(seed, **regime):
         pair = make_pair(SceneConfig(extent=25.0, ground_points=12000,
                                      structure_points=24000, seed=seed),
-                         max_rotation_deg=120, max_translation=8.0, seed=seed)
+                         seed=seed, **regime)
         out = {"gt": pair["gt_tform"]}
         for tag, pts, seg in [("src", pair["src_pts"], pair["src_seg"]),
                               ("tgt", pair["tgt_pts"], pair["tgt_seg"])]:
@@ -109,8 +118,34 @@ def main():
             p["tgt"]["corr_pts"], p["tgt"]["corr_mask"])
         return T_ref
 
-    pairs = [prep_pair(100 + i) for i in range(N_PAIRS)]
+    pairs, tags = [], []
+    for r_i, (rname, rkw) in enumerate(REGIMES.items()):
+        for i in range(N_PER_REGIME):
+            pairs.append(prep_pair(100 + 37 * r_i + i, **rkw))
+            tags.append(rname)
     key = jax.random.PRNGKey(0)
+
+    # ICP exactness pre-check (VERDICT r1: surface + bound grid overflow):
+    # the fine-stage dense-grid query is exact while every 3-z-cell window
+    # holds <= budget candidates. Measure the actual occupancy over all
+    # benchmark clouds and escalate the budget 8 -> 32 when violated.
+    from umeregrobust_tpu.ops.densegrid import (build_dense_grid,
+                                                max_window_count)
+    worst_win, worst_box = 0, 0
+    for p in pairs:
+        g = build_dense_grid(p["tgt"]["corr_pts"], p["tgt"]["corr_mask"],
+                             cell=cfg.icp_max_corr)
+        worst_win = max(worst_win, int(max_window_count(g)))
+        worst_box = max(worst_box, int(g.overflow))
+    log(f"icp grid occupancy: max_window_count={worst_win} "
+        f"box_overflow={worst_box}")
+    if worst_win > cfg.icp_budget:
+        from dataclasses import replace
+        new_budget = next(b for b in (16, 32, 64) if b >= worst_win)
+        cfg = replace(cfg, icp_budget=new_budget)
+        log(f"escalated icp_budget -> {new_budget} (window max {worst_win})")
+    assert worst_win <= cfg.icp_budget, "icp budget still insufficient"
+    assert worst_box == 0, "ICP grid box does not cover the benchmark clouds"
 
     # warmup / compile
     t0 = time.time()
@@ -118,27 +153,44 @@ def main():
     T.block_until_ready()
     log(f"compile+first pair: {time.time()-t0:.1f}s")
 
-    times, rres, rtes = [], [], []
-    for i, p in enumerate(pairs):
-        key, k = jax.random.split(key)
-        t0 = time.time()
-        # fetch the 4x4 result inside the timed region: block_until_ready
-        # has been observed to return early through the remote tunnel
-        T = np.asarray(run_pair(p, k))
-        times.append(time.time() - t0)
+    # Steady-state throughput with pipelined dispatch: enqueue every pair
+    # (JAX dispatch is async — the ~40 ms/launch host+tunnel latency then
+    # overlaps device compute, exactly like a double-buffered eval loop),
+    # then fetch every 4x4 result. The wall clock covers dispatch + all
+    # device work + all fetches, so nothing escapes the timed region
+    # (np.asarray per result — block_until_ready has been observed to
+    # return early through the remote tunnel).
+    # per-pair keys in ONE device op — an eager split per pair costs a
+    # full tunnel round-trip (~40-80 ms) and would dominate the loop
+    keys = jax.random.split(key, len(pairs))
+    jax.block_until_ready(keys)
+    t0 = time.time()
+    handles = [run_pair(p, k) for p, k in zip(pairs, keys)]
+    Ts_out = [np.asarray(h) for h in handles]
+    wall = time.time() - t0
+    pps = len(pairs) / wall
+
+    rres, rtes = [], []
+    for i, (p, T) in enumerate(zip(pairs, Ts_out)):
         rre = float(relative_rotation_error(
             jnp.asarray(p["gt"][None, :3, :3]), jnp.asarray(T[None, :3, :3]))[0])
         rte = float(np.linalg.norm(T[:3, 3] - p["gt"][:3, 3]))
         rres.append(rre)
         rtes.append(rte)
-        log(f"pair {i}: {times[-1]:.2f}s RRE={rre:.3f} RTE={rte:.3f}")
+        log(f"pair {i} [{tags[i]}]: RRE={rre:.3f} RTE={rte:.3f}")
 
     rres, rtes = np.asarray(rres), np.asarray(rtes)
+    tags_a = np.asarray(tags)
+    for rname in REGIMES:
+        m = tags_a == rname
+        sp_r = float(((rres[m] <= 1.0) & (rtes[m] <= 0.1)).mean())
+        np_rr = float(((rres[m] <= 1.5) & (rtes[m] <= 0.6)).mean())
+        log(f"  regime {rname:10s}: NP={100*np_rr:5.1f}% SP={100*sp_r:5.1f}% "
+            f"({int(m.sum())} pairs)")
     sp = float(((rres <= 1.0) & (rtes <= 0.1)).mean())
     np_r = float(((rres <= 1.5) & (rtes <= 0.6)).mean())
-    pps = 1.0 / float(np.mean(times))
     log(f"synthetic recall: NP={100*np_r:.1f}% SP={100*sp:.1f}% | "
-        f"{pps:.3f} pairs/s")
+        f"{pps:.3f} pairs/s ({len(pairs)} pairs in {wall:.2f}s)")
     print(json.dumps({
         "metric": "reg_pairs_per_sec",
         "value": round(pps, 4),

@@ -232,6 +232,36 @@ class TestDenseGrid:
             else:
                 assert idx[i] == -1
 
+    def test_max_window_count_is_tight(self, rng):
+        """max_window_count equals the true max 3-z-cell occupancy, and a
+        budget >= it makes queries exact (VERDICT r1 #6: the ICP budget
+        is escalated off this number in bench.py)."""
+        from umeregrobust_tpu.ops.densegrid import (
+            build_dense_grid, dense_nn_query, max_window_count)
+
+        p = rng.uniform(-2, 2, size=(600, 3)).astype(np.float32)
+        r = 0.5
+        grid = build_dense_grid(jnp.array(p), jnp.ones(600, bool), cell=r,
+                                dims=(16, 16, 16))
+        # oracle: count per cell, then max over z-windows
+        cc = np.floor(p / r).astype(np.int64)
+        cc -= cc.min(axis=0)
+        occ = np.zeros(cc.max(axis=0) + 1, np.int64)
+        np.add.at(occ, tuple(cc.T), 1)
+        w = occ.copy()
+        w[:, :, :-1] += occ[:, :, 1:]
+        w[:, :, 1:] += occ[:, :, :-1]
+        assert int(max_window_count(grid)) == int(w.max())
+        # exactness at budget == max_window_count
+        b = int(max_window_count(grid))
+        q = rng.uniform(-2, 2, size=(100, 3)).astype(np.float32)
+        dist, idx = dense_nn_query(grid, jnp.array(q), radius=r, budget=b)
+        dd = np.linalg.norm(q[:, None] - p[None], axis=-1)
+        best = dd.min(axis=1)
+        for i in range(100):
+            if best[i] <= r:
+                np.testing.assert_allclose(float(dist[i]), best[i], atol=1e-5)
+
     def test_overflow_reported_and_masked_points_ignored(self, rng):
         from umeregrobust_tpu.ops.densegrid import (
             build_dense_grid, dense_nn_query)

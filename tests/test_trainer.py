@@ -62,6 +62,22 @@ class TestTrainStep:
         m = tr.eval_step(tr.params, tr.bn_state, b)
         assert np.isfinite(float(m["total_loss"]))
 
+    def test_valid_epoch_metrics_and_best_checkpoints(self, tmp_path, batch2):
+        """Validation epochs compute inlier_ratio + CHR and end_epoch keeps
+        six best-metric checkpoints (reference train_coloring.py:96-207,
+        404-437)."""
+        tr = Trainer(TINY, str(tmp_path))
+        m = tr.run_epoch([batch2], train=False)
+        assert "inlier_ratio" in m and 0.0 <= m["inlier_ratio"] <= 1.0
+        assert "chr" in m and 0.0 <= m["chr"] <= 1.0
+        assert len(Trainer.BEST_KEYS) == 6
+        tr.end_epoch(m)
+        import glob
+        best = glob.glob(os.path.join(str(tmp_path), "best_*_checkpoint.pkl"))
+        # every metric present in m that has a BEST_KEY gets a checkpoint
+        expect = [k for k, _ in Trainer.BEST_KEYS if k in m]
+        assert len(best) == len(expect), (best, expect)
+
     def test_checkpoint_roundtrip(self, tmp_path, batch2):
         tr = Trainer(TINY, str(tmp_path))
         tr.end_epoch({"total_loss": 1.0, "pointwise_loss": 0.5,

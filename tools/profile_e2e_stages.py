@@ -121,6 +121,9 @@ def main():
     icp_fn = jax.jit(lambda T: _icp_loop(cpts, cmask, arrays, T, 0.4, 60, 8,
                                          DEFAULT_DIMS)[0])
     timeit("icp 60 iters (4k, budget 8)", icp_fn, jnp.eye(4))
+    icp32_fn = jax.jit(lambda T: _icp_loop(cpts, cmask, arrays, T, 0.4, 60, 32,
+                                           DEFAULT_DIMS)[0])
+    timeit("icp 60 iters (4k, budget 32)", icp32_fn, jnp.eye(4))
 
 
 if __name__ == "__main__":

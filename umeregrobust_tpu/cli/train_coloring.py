@@ -91,12 +91,18 @@ def main(argv=None):
         trainer.epoch = blob["epoch"]
         print(f"resumed from {args.resume_train_path} at epoch {trainer.epoch}")
 
+    from umeregrobust_tpu.utils.prefetch import prefetch
+
     for epoch in range(trainer.epoch, int(args.num_epochs)):
-        trainer.run_epoch(_batches(dset_train, cfg.batch_size, cfg.max_pc_size,
-                                   cfg.num_pw_samples, True, rng), train=True)
+        # host-side collate runs on a prefetch thread so batch prep
+        # overlaps the device step (reference: DataLoader(num_workers=8),
+        # train_coloring.py:351-356)
+        trainer.run_epoch(
+            prefetch(_batches(dset_train, cfg.batch_size, cfg.max_pc_size,
+                              cfg.num_pw_samples, True, rng)), train=True)
         valid = trainer.run_epoch(
-            _batches(dset_valid, cfg.batch_size, cfg.max_pc_size,
-                     cfg.num_pw_samples, False, rng), train=False)
+            prefetch(_batches(dset_valid, cfg.batch_size, cfg.max_pc_size,
+                              cfg.num_pw_samples, False, rng)), train=False)
         trainer.end_epoch(valid)
         print(f"epoch {epoch} valid: " + " ".join(
             f"{k}={v:.4f}" for k, v in valid.items()), flush=True)

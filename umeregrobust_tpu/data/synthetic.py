@@ -143,25 +143,39 @@ def make_pair(
     max_translation: float = 10.0,
     z_rotation_only: bool = True,
     seed: int | None = None,
+    min_rotation_deg: float = 0.0,
+    sector_deg: float = 360.0,
 ) -> dict:
     """One registration pair: two noisy partial observations of a scene.
 
     Returns dict with src_pts, src_seg, tgt_pts, tgt_seg (numpy) and
     gt_tform (4,4) mapping src -> tgt, i.e. tgt ~= R @ src + t on the
     overlap (the reference's convention, kitti_dataset.py:437).
+
+    min_rotation_deg forces |yaw| >= min (rotation-heavy regimes mirroring
+    rotkitti's 150-180 deg augmentation); sector_deg < 360 keeps only a
+    random azimuth wedge per observation, producing spatially-structured
+    partial overlap mirroring lokitti's distant-frame low-overlap pairs.
     """
     rng = np.random.default_rng(cfg.seed if seed is None else seed)
     pts, labels = make_scene(cfg)
 
     def observe(p, lab):
         keep = rng.uniform(size=len(p)) > cfg.dropout
+        if sector_deg < 360.0:
+            center = rng.uniform(0, 2 * np.pi)
+            az = np.arctan2(p[:, 1], p[:, 0])
+            half = np.radians(sector_deg) / 2
+            d = np.abs((az - center + np.pi) % (2 * np.pi) - np.pi)
+            keep &= d <= half
         q = p[keep] + rng.normal(scale=cfg.noise_std, size=(keep.sum(), 3))
         return q.astype(np.float32), lab[keep]
 
     src_pts, src_seg = observe(pts, labels)
     tgt_world, tgt_seg = observe(pts, labels)
 
-    ang = np.radians(rng.uniform(-max_rotation_deg, max_rotation_deg))
+    mag = rng.uniform(min_rotation_deg, max_rotation_deg)
+    ang = np.radians(mag * (1 if rng.uniform() < 0.5 else -1))
     if z_rotation_only:
         c, s = np.cos(ang), np.sin(ang)
         R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["DenseGrid", "build_dense_grid", "dense_nn_query",
-           "max_cell_count"]
+           "max_cell_count", "max_window_count"]
 
 DEFAULT_DIMS = (384, 384, 96)
 _FAR = 1e9  # parked coordinate for masked/padded rows
@@ -86,6 +86,22 @@ def max_cell_count(grid: "DenseGrid") -> jnp.ndarray:
     sufficient bound). Reduce over the dense table; call outside hot
     loops."""
     return jnp.max(grid.runs >> 16)
+
+
+@partial(jax.jit, static_argnames=("dims",))
+def _max_window(runs, dims):
+    c = (runs[:-1] >> 16).reshape(dims)
+    w = c
+    w = w.at[:, :, :-1].add(c[:, :, 1:])  # z+1 neighbor
+    w = w.at[:, :, 1:].add(c[:, :, :-1])  # z-1 neighbor
+    return jnp.max(w)
+
+
+def max_window_count(grid: "DenseGrid") -> jnp.ndarray:
+    """Exact max occupancy of any 3-z-cell query window — the tight
+    exactness bound: dense_nn_query is exact iff every window holds
+    <= budget points. Use to pick the smallest safe budget."""
+    return _max_window(grid.runs, grid.dims)
 
 
 def build_dense_grid(

@@ -297,6 +297,13 @@ def sparse_conv(
       compute_dtype: matmul input dtype (bf16 for the backbone hot path).
 
     Returns (N_out, Cout) fp32.
+
+    Formulation note: a per-tap lax.scan measures faster end-to-end than
+    materializing the (N_out, K, Cin) gather and contracting in one
+    (K*Cin)-deep matmul — XLA fuses the gather into each small matmul and
+    the accumulator stays on-chip, while the one-shot variant stages a
+    ~110 MB tensor through HBM per 64k-row layer (benchmarked both ways on
+    v5e: 5.7 vs 4.9 pairs/s whole-pipeline).
     """
     K = weights.shape[0]
     f = feats.astype(compute_dtype)

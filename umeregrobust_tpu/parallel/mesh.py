@@ -10,8 +10,9 @@ parallel, and the model is tiny (~1 M params), so the layout is:
   shardings; rides ICI within a slice).
 
 The "sequence parallel" analog for point clouds — sharding the points axis
-— is exposed as the 'sp' axis for extra-large clouds: segment reductions
-(sparse conv, moment accumulation) are shardable by construction.
+— is the 'sp' axis: parallel/points_sharded.py shard_maps the fused UME
+moment accumulation over it (partial moments per contiguous points block,
+one psum) for clouds too large for a single chip's HBM.
 """
 from __future__ import annotations
 

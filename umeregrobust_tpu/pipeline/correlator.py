@@ -50,10 +50,17 @@ def feature_spatial_var(
     feat: jnp.ndarray,
     mask: jnp.ndarray,
     k: int = 50,
+    approx: bool = False,
 ) -> jnp.ndarray:
     """Mean feature-difference norm over the k-1 nearest neighbors
-    (self excluded), reference utils/loc_utils.py:579-585 with knn=50."""
-    _, idx = knn(pts, pts, K=k, q_mask=mask, p_mask=mask)
+    (self excluded), reference utils/loc_utils.py:579-585 with knn=50.
+
+    approx=True uses the TPU approximate top-k for the neighbor search —
+    the weight is a statistical smoothness measure, so a ~3% chance of a
+    slightly-farther substitute neighbor perturbs it negligibly (measured:
+    tools/stress_correlator.py --weights compares winners under approx vs
+    exact weights on adversarial near-tie hypothesis sets)."""
+    _, idx = knn(pts, pts, K=k, q_mask=mask, p_mask=mask, approx=approx)
     nbr_feat = gather_padded(feat, idx[:, 1:])  # (N, k-1, C), drop self
     diff = feat[:, None, :] - nbr_feat
     return jnp.mean(jnp.linalg.norm(diff, axis=-1), axis=-1) * mask
@@ -67,14 +74,17 @@ def prepare_weighted_features(
     tgt_feat: jnp.ndarray,
     tgt_mask: jnp.ndarray,
     var_knn: int = 50,
+    approx_var: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mean-center (joint mean) and spatial-variance-weight both feature
     sets (reference utils/loc_utils.py:660-664)."""
     m_all = jnp.concatenate([src_mask, tgt_mask]).astype(jnp.float32)
     f_all = jnp.concatenate([src_feat, tgt_feat], axis=0)
     m = jnp.sum(f_all * m_all[:, None], axis=0) / jnp.maximum(jnp.sum(m_all), 1.0)
-    w_src = feature_spatial_var(src_pts, src_feat, src_mask, k=var_knn)
-    w_tgt = feature_spatial_var(tgt_pts, tgt_feat, tgt_mask, k=var_knn)
+    w_src = feature_spatial_var(src_pts, src_feat, src_mask, k=var_knn,
+                                approx=approx_var)
+    w_tgt = feature_spatial_var(tgt_pts, tgt_feat, tgt_mask, k=var_knn,
+                                approx=approx_var)
     fs = (src_feat - m) * w_src[:, None] * src_mask[:, None]
     ft = (tgt_feat - m) * w_tgt[:, None] * tgt_mask[:, None]
     return fs, ft
@@ -300,8 +310,11 @@ def select_best_transform(
     cap; mode='radius' is the MXU-native radius-capped variant
     (correlator_scores_radius / the fused Pallas kernel on TPU).
     """
+    # the fast path pairs the radius cap with approximate var-knn weights;
+    # mode='knn' keeps both reference-exact
     fs, ft = prepare_weighted_features(
-        src_pts, src_feat, src_mask, tgt_pts, tgt_feat, tgt_mask, var_knn=var_knn)
+        src_pts, src_feat, src_mask, tgt_pts, tgt_feat, tgt_mask,
+        var_knn=var_knn, approx_var=(mode == "radius"))
     H = Ts.shape[0]
     if coarse_src is not None and coarse_src < src_pts.shape[0] and H > rescore_top:
         if key is None:

@@ -73,7 +73,8 @@ def register_pair_e2e(
     stages = []
     if cfg.icp_coarse_corr is not None:
         stages.append((float(cfg.icp_coarse_corr), int(cfg.icp_coarse_iter), 32))
-    stages.append((float(cfg.icp_max_corr), int(cfg.icp_max_iter), 8))
+    stages.append((float(cfg.icp_max_corr), int(cfg.icp_max_iter),
+                   int(cfg.icp_budget)))
     for corr, iters, budget in stages:
         grid = build_dense_grid(corr_tgt_pts, corr_tgt_mask, cell=corr,
                                 dims=DEFAULT_DIMS)

@@ -63,6 +63,11 @@ class RegistrationConfig:
     # parity with Open3D registration_icp(max_corr).
     icp_coarse_corr: Optional[float] = None
     icp_coarse_iter: int = 25
+    # per-(dx,dy)-window candidate budget of the fine ICP grid query; exact
+    # while every 3-z-cell window holds <= budget points (ops/densegrid.py
+    # max_cell_count). bench.py measures the actual cell occupancy and
+    # escalates 8 -> 32 when the exactness condition would be violated.
+    icp_budget: int = 8
 
 
 class RegistrationResult(NamedTuple):
@@ -197,7 +202,8 @@ def register_pair_features(
         T_ref, rmse, fit = icp_point_to_point(
             raw_src_pts, raw_tgt_pts, best_T,
             max_corr=cfg.icp_max_corr, max_iter=cfg.icp_max_iter,
-            src_mask=raw_src_mask, tgt_mask=raw_tgt_mask)
+            src_mask=raw_src_mask, tgt_mask=raw_tgt_mask,
+            budget=cfg.icp_budget)
     else:
         T_ref, rmse, fit = best_T, jnp.float32(0.0), jnp.float32(0.0)
     return RegistrationResult(

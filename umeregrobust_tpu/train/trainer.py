@@ -81,6 +81,14 @@ class TrainConfig:
     flat_labels: Tuple[int, ...] = (9,)
     compute_dtype: str = "bfloat16"
     level_capacity_ratios: Tuple[float, ...] = (1.0, 0.75, 0.4, 0.2, 0.08)
+    # validation registration metrics (reference train_coloring.py:141,
+    # :276-278, :313-314 — CHR thresholds 5 deg / 0.6 m, inlier ratio over
+    # 1000 keypoints at 0.6 m, enabled in both shipped train configs)
+    calc_inlier_ratio_eval: bool = True
+    eval_num_kpts: int = 1000
+    eval_inlier_thr: float = 0.6
+    chr_rot_thr_deg: float = 5.0
+    chr_trans_thr_m: float = 0.6
 
 
 def _capacities(cfg: TrainConfig, arch: ArchSpec) -> Tuple[int, ...]:
@@ -137,6 +145,11 @@ def _pair_losses(params, bn_state, batch_pair, cfg: TrainConfig, arch: ArchSpec,
             vm = valid.astype(jnp.float32)
             metrics["rre_median"] = jnp.nanmedian(jnp.where(valid, rre, jnp.nan))
             metrics["rte_median"] = jnp.nanmedian(jnp.where(valid, rte, jnp.nan))
+            # CHR: fraction of per-keypoint closed-form transforms within
+            # (5 deg, 0.6 m) of GT (reference train_coloring.py:141)
+            hit = ((rre <= cfg.chr_rot_thr_deg)
+                   & (rte <= cfg.chr_trans_thr_m)).astype(jnp.float32)
+            metrics["chr"] = jnp.sum(hit * vm) / jnp.maximum(jnp.sum(vm), 1.0)
             total = total + cfg.reg_loss_weight * reg_l
     metrics["total_loss"] = total
     return total, (metrics, new_state)
@@ -178,9 +191,10 @@ class Trainer:
     """Epoch driver with best-metric checkpointing (the reference keeps six
     best-of checkpoints plus last, train_coloring.py:417-437)."""
 
+    # six best-metric checkpoints, reference train_coloring.py:404-437
     BEST_KEYS = (
         ("total_loss", min), ("pointwise_loss", min), ("ume_loss", min),
-        ("reg_loss", min),
+        ("reg_loss", min), ("inlier_ratio", max), ("chr", max),
     )
 
     def __init__(self, cfg: TrainConfig, out_dir: str, seed: int = 0):
@@ -208,6 +222,46 @@ class Trainer:
         self._log_file.write(json.dumps(rec) + "\n")
         self._log_file.flush()
 
+    def _pair_features(self, coords, mask):
+        """Jitted per-pair backbone forward (validation inlier ratio)."""
+        if not hasattr(self, "_feat_fn"):
+            caps = _capacities(self.cfg, self.arch)
+            cfg, arch = self.cfg, self.arch
+
+            @jax.jit
+            def feat_fn(params, bn_state, coords, mask):
+                geom = build_unet_geometry(coords, mask, arch, caps)
+                fin = jnp.ones((coords.shape[0], cfg.in_channels),
+                               jnp.float32) * mask[:, None]
+                cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+                    else jnp.float32
+                return resunet_apply(params, bn_state, geom, fin, arch,
+                                     train=False, compute_dtype=cd)[0]
+
+            self._feat_fn = feat_fn
+        return self._feat_fn(self.params, self.bn_state, coords, mask)
+
+    def _batch_inlier_ratio(self, batch) -> float:
+        """Mean validation inlier ratio over the batch (reference
+        train_coloring.py:158-171 / eval_utils.py:8-57). Hungarian runs
+        host-side per pair; forwards are jitted and batched per pair."""
+        from umeregrobust_tpu.pipeline.eval_metrics import calc_inlier_ratio
+
+        cfg = self.cfg
+        ratios = []
+        B = batch["src_coords"].shape[0]
+        for b in range(B):
+            sf = self._pair_features(batch["src_coords"][b], batch["src_mask"][b])
+            tf = self._pair_features(batch["tgt_coords"][b], batch["tgt_mask"][b])
+            ratios.append(calc_inlier_ratio(
+                batch["src_pts"][b], batch["src_seg"][b], sf,
+                batch["src_mask"][b], batch["tgt_pts"][b], tf,
+                batch["tgt_mask"][b], batch["gt_tform"][b],
+                ume_r_nn=cfg.ume_r_nn, ume_max_nn=cfg.ume_max_nn,
+                ume_min_nn=cfg.ume_min_nn, eval_num_kpts=cfg.eval_num_kpts,
+                inlier_thr=cfg.eval_inlier_thr))
+        return float(np.mean(ratios)) if ratios else 0.0
+
     def run_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
                   train: bool = True, log_every: int = 10) -> Dict[str, float]:
         acc: Dict[str, float] = {}
@@ -220,6 +274,8 @@ class Trainer:
             else:
                 m = self.eval_step(self.params, self.bn_state, batch)
             m = {k: float(v) for k, v in m.items()}
+            if not train and self.cfg.calc_inlier_ratio_eval:
+                m["inlier_ratio"] = self._batch_inlier_ratio(batch)
             for k, v in m.items():
                 acc[k] = acc.get(k, 0.0) + v
             n += 1
