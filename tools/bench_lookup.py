@@ -17,6 +17,9 @@ import numpy as np
 
 def main():
     import jax
+
+    from umeregrobust_tpu.utils.cache import ensure_compile_cache
+    ensure_compile_cache()
     import jax.numpy as jnp
 
     from umeregrobust_tpu.ops.hashing import build_hash_table, lookup

@@ -16,6 +16,9 @@ import numpy as np
 
 def main():
     import jax
+
+    from umeregrobust_tpu.utils.cache import ensure_compile_cache
+    ensure_compile_cache()
     import jax.numpy as jnp
 
     print("devices:", jax.devices(), flush=True)

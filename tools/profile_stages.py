@@ -24,6 +24,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from umeregrobust_tpu.utils.cache import ensure_compile_cache
+    ensure_compile_cache()
     import jax.numpy as jnp
 
     from umeregrobust_tpu.core.ume import estimate_rigid_from_ume

@@ -20,8 +20,12 @@ Results are summarized at the end and recorded in EXPERIMENTS.md.
 Usage: python tools/stress_correlator.py [--trials 200] [--n 2048]
 """
 import argparse
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -65,6 +69,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from umeregrobust_tpu.utils.cache import ensure_compile_cache
+    ensure_compile_cache()
     import jax.numpy as jnp
 
     from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair

@@ -30,6 +30,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from umeregrobust_tpu.utils.cache import ensure_compile_cache
+    ensure_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

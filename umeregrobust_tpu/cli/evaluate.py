@@ -277,6 +277,8 @@ def _synthetic_pair_iter(args, n: int):
 
 
 def main(argv=None):
+    from umeregrobust_tpu.utils.cache import ensure_compile_cache
+    ensure_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--benchmark", choices=sorted(BENCHMARK_CONFIGS),
                         default="kitti_test")

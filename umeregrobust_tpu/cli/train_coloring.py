@@ -38,6 +38,8 @@ def _batches(dset, batch_size, max_pc_size, num_matches, shuffle, rng) -> Iterat
 
 
 def main(argv=None):
+    from umeregrobust_tpu.utils.cache import ensure_compile_cache
+    ensure_compile_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", choices=["kitti", "nuscenes"], default="kitti")
     parser.add_argument("--set", action="append", default=[])

@@ -9,7 +9,11 @@ scans the 27 neighboring cells with a fixed per-cell candidate budget.
 
 For radius-bounded 1-NN this is exact as long as no cell overflows the
 budget; overflowing cells are truncated (LiDAR at ICP scales stays far
-below the default budget) and the build reports the overflow count.
+below the default budget) — check with `overflow_count(grid, budget)`.
+
+Superseded in the ICP hot loop by ops/densegrid.py (O(1) dense-table
+addressing, no hash-probe while_loop); kept as the unbounded-extent
+fallback.
 """
 from __future__ import annotations
 
@@ -22,7 +26,7 @@ import numpy as np
 
 from umeregrobust_tpu.ops.hashing import HashTable, build_hash_table, lookup
 
-__all__ = ["GridIndex", "build_grid", "nn_query"]
+__all__ = ["GridIndex", "build_grid", "nn_query", "overflow_count"]
 
 
 class GridIndex(NamedTuple):
@@ -33,6 +37,12 @@ class GridIndex(NamedTuple):
     start: jnp.ndarray  # (C,) int32 start of each cell's run in `order`
     count: jnp.ndarray  # (C,) int32 run length
     cell: float  # static cell edge
+
+
+def overflow_count(grid: "GridIndex", budget: int) -> jnp.ndarray:
+    """Points beyond `budget` in their cell — the count of candidates a
+    query with this budget can never see. 0 => queries are exact."""
+    return jnp.sum(jnp.maximum(grid.count - budget, 0))
 
 
 def _cell_coords(points: jnp.ndarray, cell: float) -> jnp.ndarray:

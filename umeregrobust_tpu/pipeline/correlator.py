@@ -58,8 +58,7 @@ def feature_spatial_var(
     approx=True uses the TPU approximate top-k for the neighbor search —
     the weight is a statistical smoothness measure, so a ~3% chance of a
     slightly-farther substitute neighbor perturbs it negligibly (measured:
-    tools/stress_correlator.py --weights compares winners under approx vs
-    exact weights on adversarial near-tie hypothesis sets)."""
+    0 winner flips in 200 adversarial near-tie trials, EXPERIMENTS.md E2)."""
     _, idx = knn(pts, pts, K=k, q_mask=mask, p_mask=mask, approx=approx)
     nbr_feat = gather_padded(feat, idx[:, 1:])  # (N, k-1, C), drop self
     diff = feat[:, None, :] - nbr_feat
@@ -184,7 +183,10 @@ def correlator_scores_radius(
     2 sigma is 0.2 and falls quadratically, so truncation error is small;
     the cap semantics differ from the reference only in how many distant
     points contribute their tails (a documented, benchmarked divergence —
-    use correlator_scores for exact reference parity).
+    use correlator_scores for exact reference parity). Adversarially
+    stress-tested on near-tie hypothesis sets: winners flip only within
+    the sub-2-degree GT cluster, never to a wrong basin, and post-ICP
+    results are identical (EXPERIMENTS.md E1).
     """
     N = src_pts.shape[0]
     H = Ts.shape[0]
