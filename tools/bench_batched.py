@@ -18,6 +18,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--skip-seq", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -110,18 +111,20 @@ def main():
         for i in range(B)]
 
     # sequential
-    t0 = time.time()
-    outs = [register_pair_e2e(params, state, arch, caps, cfg, *a)
-            for a in single_args]
-    jax.block_until_ready(outs)
-    print(f"sequential compile+first: {time.time()-t0:.1f}s", flush=True)
-    for _ in range(2):
+    Ts_seq = None
+    if not args.skip_seq:
         t0 = time.time()
         outs = [register_pair_e2e(params, state, arch, caps, cfg, *a)
                 for a in single_args]
-        Ts_seq = [np.asarray(o[1]) for o in outs]
-        dt = time.time() - t0
-        print(f"sequential: {dt:.2f}s = {B/dt:.2f} pairs/s", flush=True)
+        jax.block_until_ready(outs)
+        print(f"sequential compile+first: {time.time()-t0:.1f}s", flush=True)
+        for _ in range(2):
+            t0 = time.time()
+            outs = [register_pair_e2e(params, state, arch, caps, cfg, *a)
+                    for a in single_args]
+            Ts_seq = [np.asarray(o[1]) for o in outs]
+            dt = time.time() - t0
+            print(f"sequential: {dt:.2f}s = {B/dt:.2f} pairs/s", flush=True)
 
     # batched
     t0 = time.time()
@@ -137,9 +140,10 @@ def main():
         dt = time.time() - t0
         print(f"batched:    {dt:.2f}s = {B/dt:.2f} pairs/s", flush=True)
 
-    err = max(np.abs(Ts_b[i] - Ts_seq[i]).max() for i in range(B))
-    print(f"max |batched - sequential| over transforms: {err:.2e}",
-          flush=True)
+    if Ts_seq is not None:
+        err = max(np.abs(Ts_b[i] - Ts_seq[i]).max() for i in range(B))
+        print(f"max |batched - sequential| over transforms: {err:.2e}",
+              flush=True)
 
 
 if __name__ == "__main__":

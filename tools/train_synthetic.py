@@ -48,16 +48,29 @@ def main():
         ume_r_nn=5.0,
         level_capacity_ratios=(1.0, 0.8, 0.45, 0.25, 0.1),
     )
-    scene = SceneConfig(extent=22.0, ground_points=10000,
-                        structure_points=20000, n_boxes=20, n_walls=7,
-                        n_poles=12, dropout=0.3)
+    # scene + regime diversity (round-1 VERDICT #8): sparse/dense clutter,
+    # heavier dropout, full-rotation and sector-cropped low-overlap pairs,
+    # mirroring the bench regime suite without reusing its seeds
+    scenes = [
+        SceneConfig(extent=22.0, ground_points=10000, structure_points=20000,
+                    n_boxes=20, n_walls=7, n_poles=12, dropout=0.3),
+        SceneConfig(extent=30.0, ground_points=12000, structure_points=16000,
+                    n_boxes=10, n_walls=4, n_poles=6, dropout=0.45),
+        SceneConfig(extent=18.0, ground_points=8000, structure_points=24000,
+                    n_boxes=32, n_walls=10, n_poles=18, dropout=0.25),
+    ]
+    regimes = [
+        dict(max_rotation_deg=120, max_translation=8.0),
+        dict(max_rotation_deg=180, max_translation=6.0),
+        dict(max_rotation_deg=120, max_translation=12.0, sector_deg=260.0),
+    ]
     print("building batches...", flush=True)
     batches = []
     for i in range(args.n_scenes // args.batch):
-        b = make_collated_batch(scene, n_pairs=args.batch,
+        b = make_collated_batch(scenes[i % len(scenes)], n_pairs=args.batch,
                                 max_pc_size=args.pc_cap, num_matches=256,
                                 seed=args.seed0 + i * args.batch,
-                                max_rotation_deg=120, max_translation=8.0)
+                                **regimes[i % len(regimes)])
         batches.append({k: jnp.asarray(v) for k, v in b.items()})
         print(f"  batch {i+1}", flush=True)
 

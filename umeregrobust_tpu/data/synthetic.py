@@ -27,6 +27,8 @@ def make_collated_batch(
     seed: int = 0,
     max_rotation_deg: float = 180.0,
     max_translation: float = 10.0,
+    min_rotation_deg: float = 0.0,
+    sector_deg: float = 360.0,
 ) -> dict:
     """Synthetic pairs, voxelized and collated into the fixed-shape batch
     format consumed by the trainer (test/bench substrate)."""
@@ -37,7 +39,9 @@ def make_collated_batch(
     samples = []
     for i in range(n_pairs):
         pair = make_pair(scene_cfg, max_rotation_deg=max_rotation_deg,
-                         max_translation=max_translation, seed=seed + i)
+                         max_translation=max_translation, seed=seed + i,
+                         min_rotation_deg=min_rotation_deg,
+                         sector_deg=sector_deg)
         src_c, si = quantize_np(pair["src_pts"], voxel_size)
         tgt_c, ti = quantize_np(pair["tgt_pts"], voxel_size)
         src_g = coords_to_grid_pts_np(pair["src_pts"], src_c, voxel_size)
