@@ -105,21 +105,13 @@ def main():
             cp = np.zeros((CORR_CAP, 3), np.float32)
             cp[: len(ci)] = pts[ci]
             cm = np.arange(CORR_CAP) < len(ci)
-            out[tag] = dict(coords=jnp.asarray(c4), grid=jnp.asarray(g),
-                            seg=jnp.asarray(s), mask=jnp.asarray(m),
-                            corr_pts=jnp.asarray(cp), corr_mask=jnp.asarray(cm))
+            out[tag] = dict(coords=c4, grid=g, seg=s, mask=m,
+                            corr_pts=cp, corr_mask=cm)
         return out
 
-    from umeregrobust_tpu.pipeline.e2e import register_pair_e2e
+    from functools import partial
 
-    def run_pair(p, key):
-        _, T_ref = register_pair_e2e(
-            params, state, arch, caps, cfg, key,
-            p["src"]["coords"], p["src"]["grid"], p["src"]["mask"],
-            p["tgt"]["coords"], p["tgt"]["grid"], p["tgt"]["mask"],
-            p["src"]["corr_pts"], p["src"]["corr_mask"],
-            p["tgt"]["corr_pts"], p["tgt"]["corr_mask"])
-        return T_ref
+    from umeregrobust_tpu.pipeline.e2e import register_pair_e2e
 
     pairs, tags = [], []
     for r_i, (rname, rkw) in enumerate(REGIMES.items()):
@@ -127,6 +119,28 @@ def main():
             pairs.append(prep_pair(100 + 37 * r_i + i, **rkw))
             tags.append(rname)
     key = jax.random.PRNGKey(0)
+
+    # One stacked device upload per field (10 total): a jnp.asarray per
+    # pair-array costs a full tunnel round-trip each (252 calls measured in
+    # minutes); the per-pair slice happens on-device inside the jit.
+    FIELDS = [("src", "coords"), ("src", "grid"), ("src", "mask"),
+              ("tgt", "coords"), ("tgt", "grid"), ("tgt", "mask"),
+              ("src", "corr_pts"), ("src", "corr_mask"),
+              ("tgt", "corr_pts"), ("tgt", "corr_mask")]
+    stacked = tuple(jnp.asarray(np.stack([p[t][f] for p in pairs]))
+                    for t, f in FIELDS)
+    jax.block_until_ready(stacked)
+
+    @partial(jax.jit, static_argnames=())
+    def run_idx(key, i, *st):
+        sliced = [jax.lax.dynamic_index_in_dim(a, i, keepdims=False)
+                  for a in st]
+        _, T_ref = register_pair_e2e(params, state, arch, caps, cfg, key,
+                                     *sliced)
+        return T_ref
+
+    def run_pair_i(i, key):
+        return run_idx(key, jnp.int32(i), *stacked)
 
     # ICP exactness pre-check (VERDICT r1: surface + bound grid overflow):
     # the fine-stage dense-grid query is exact while every 3-z-cell window
@@ -158,7 +172,7 @@ def main():
 
     # warmup / compile
     t0 = time.time()
-    T = run_pair(pairs[0], key)
+    T = run_pair_i(0, key)
     T.block_until_ready()
     log(f"compile+first pair: {time.time()-t0:.1f}s")
 
@@ -174,7 +188,7 @@ def main():
     keys = jax.random.split(key, len(pairs))
     jax.block_until_ready(keys)
     t0 = time.time()
-    handles = [run_pair(p, k) for p, k in zip(pairs, keys)]
+    handles = [run_pair_i(i, k) for i, k in enumerate(keys)]
     Ts_out = [np.asarray(h) for h in handles]
     wall = time.time() - t0
     pps = len(pairs) / wall
