@@ -122,7 +122,11 @@ def build_unet_geometry(
     instead of k^3 queries per coarse voxel — and ONE lookup yields both
     the encoder map and its adjoint decoder map (transposed convs gather
     exactly the inverse relation). ~3x fewer sorted rows than querying
-    every tap of every map.
+    every tap of every map. Level sorts use compact single-word codes
+    (ops/sortmaps.pack_code): coordinates beyond |x|,|y| < 512 /
+    |z| < 256 fine-voxel units (153 m / 76 m at 0.3 m — >3x every
+    benchmark's LiDAR range) are clamped to invalid and drop out of
+    neighbor maps, keeping only their own center-tap contribution.
     """
     from umeregrobust_tpu.ops.sparse import (
         build_level_maps, interface_candidates, invert_map_batch,

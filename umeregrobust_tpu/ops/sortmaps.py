@@ -26,7 +26,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["batched_sorted_lookup", "sorted_join", "pack_coords"]
+__all__ = ["batched_sorted_lookup", "sorted_join", "pack_coords",
+           "pack_code", "sorted_join_code"]
 
 _KEY_SENTINEL = jnp.int32(0x7FFFFFF0)
 _QUERY_SENTINEL = jnp.int32(0x7FFFFF00)
@@ -142,6 +143,78 @@ def sorted_join(
     rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1
     # sentinel runs never cross-match: KEY_SENTINEL != QUERY_SENTINEL and
     # both sort after every valid code.
+    matched = (last_key >= last_bnd) & (last_key >= 0)
+    nbr = jnp.where(matched, rank, jnp.int32(-1))
+
+    q_row = pay_s & jnp.int32((1 << 30) - 1)
+    dst = jnp.where(is_key, jnp.int32(M), q_row)
+    return jnp.full((M,), jnp.int32(-1)).at[dst].set(nbr, mode="drop")
+
+
+# ---------------------------------------------------------------------------
+# Compact single-word codes: the UNet-geometry hot path.
+#
+# LiDAR voxel coordinates are small — the shipped pipelines quantize at
+# >= 0.3 m and scenes are vehicle-centered, so |x|, |y| < 512 and
+# |z| < 256 fine-voxel units (153 m / 76 m at 0.3 m) cover every
+# benchmark with >3x margin (HDL-64 max range ~120 m -> 400 units).
+# Packing (b, x, y, z) into ONE int32 halves the words moving through
+# every level sort (the dominant geometry cost) and turns the two-word
+# run-boundary compare into one. Coordinates outside the bound (or
+# b > 2) are clamped to the invalid sentinel — identical treatment to
+# capacity overflow: those rows simply match nothing.
+#
+# Layout (all fields offset to non-negative):
+#   code = (b << 29) | ((x+512) << 19) | ((y+512) << 9) | (z+256)
+# b <= 2 keeps the max valid code (0x5FFFFFFF) below both sentinels.
+# ---------------------------------------------------------------------------
+
+COMPACT_BX = 512  # |x|, |y| bound (exclusive of +512)
+COMPACT_BZ = 256
+
+
+def pack_code(c: jnp.ndarray, valid: jnp.ndarray,
+              sentinel: jnp.ndarray) -> jnp.ndarray:
+    """(…,4) int32 -> single int32 code; out-of-range rows -> sentinel."""
+    b = c[..., 0]
+    x = c[..., 1]
+    y = c[..., 2]
+    z = c[..., 3]
+    ok = (
+        valid
+        & (b >= 0) & (b <= 2)
+        & (x >= -COMPACT_BX) & (x < COMPACT_BX)
+        & (y >= -COMPACT_BX) & (y < COMPACT_BX)
+        & (z >= -COMPACT_BZ) & (z < COMPACT_BZ)
+    )
+    code = ((b << 29) | ((x + COMPACT_BX) << 19)
+            | ((y + COMPACT_BX) << 9) | (z + COMPACT_BZ))
+    return jnp.where(ok, code, sentinel)
+
+
+def sorted_join_code(key_code: jnp.ndarray, q_code: jnp.ndarray) -> jnp.ndarray:
+    """Single-word twin of `sorted_join` (same precondition: key codes
+    lex-sorted ascending with invalid rows at KEY_SENTINEL)."""
+    N = key_code.shape[0]
+    M = q_code.shape[0]
+    T = N + M
+
+    code = jnp.concatenate([key_code, q_code])
+    payload = jnp.concatenate([
+        jnp.zeros((N,), jnp.int32),
+        jnp.arange(M, dtype=jnp.int32) | jnp.int32(1 << 30),
+    ])
+    code_s, pay_s = jax.lax.sort((code, payload), num_keys=1)
+    is_key = pay_s < jnp.int32(1 << 30)
+
+    pos = jnp.arange(T, dtype=jnp.int32)
+    last_key = jax.lax.cummax(jnp.where(is_key, pos, jnp.int32(-1)))
+    bnd = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        jnp.where(code_s[1:] != code_s[:-1], pos[1:], jnp.int32(0)),
+    ])
+    last_bnd = jax.lax.cummax(bnd)
+    rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1
     matched = (last_key >= last_bnd) & (last_key >= 0)
     nbr = jnp.where(matched, rank, jnp.int32(-1))
 

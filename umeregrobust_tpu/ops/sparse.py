@@ -42,8 +42,8 @@ from umeregrobust_tpu.ops.sortmaps import (
     KEY_SENTINEL,
     QUERY_SENTINEL,
     batched_sorted_lookup,
-    pack_coords,
-    sorted_join,
+    pack_code,
+    sorted_join_code,
 )
 
 __all__ = [
@@ -155,11 +155,11 @@ def build_level_maps(
             shapes.append((K, N_out))
         qs.append(q)
         qms.append(qm)
-    k_hi, k_lo = pack_coords(key_level.coords, key_level.mask, KEY_SENTINEL)
+    k_code = pack_code(key_level.coords, key_level.mask, KEY_SENTINEL)
     q_all = jnp.concatenate(qs, axis=0)
     qm_all = jnp.concatenate(qms, axis=0)
-    q_hi, q_lo = pack_coords(q_all, qm_all, QUERY_SENTINEL)
-    res = sorted_join(k_hi, k_lo, q_hi, q_lo)
+    q_code = pack_code(q_all, qm_all, QUERY_SENTINEL)
+    res = sorted_join_code(k_code, q_code)
     out, ofs = [], 0
     for shape in shapes:
         n = int(np.prod(shape))
@@ -245,12 +245,12 @@ def downsample_coords(
         [coords[:, :1], (coords[:, 1:] // s) * s], axis=-1  # floor-div
     )
     rows = jnp.arange(N, dtype=jnp.int32)
-    hi, lo = pack_coords(q, mask, KEY_SENTINEL)
-    hi_s, lo_s, row_s = jax.lax.sort((hi, lo, rows), num_keys=3)
-    valid_s = hi_s < QUERY_SENTINEL
+    code = pack_code(q, mask, KEY_SENTINEL)
+    code_s, row_s = jax.lax.sort((code, rows), num_keys=1)
+    valid_s = code_s < QUERY_SENTINEL
     first = jnp.concatenate([
         jnp.ones((1,), bool),
-        (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1]),
+        code_s[1:] != code_s[:-1],
     ]) & valid_s
     pos = jnp.cumsum(first.astype(jnp.int32)) - 1  # slot in sorted order
     n_unique = jnp.sum(first.astype(jnp.int32))
@@ -272,9 +272,9 @@ def sort_level(
     levels come pre-sorted out of `downsample_coords`).
     """
     N = coords.shape[0]
-    hi, lo = pack_coords(coords, mask, KEY_SENTINEL)
+    code = pack_code(coords, mask, KEY_SENTINEL)
     rows = jnp.arange(N, dtype=jnp.int32)
-    _, _, order = jax.lax.sort((hi, lo, rows), num_keys=3)
+    _, order = jax.lax.sort((code, rows), num_keys=1)
     inv = jnp.zeros((N,), jnp.int32).at[order].set(rows)
     return Level(coords=coords[order], mask=mask[order]), order, inv
 
