@@ -139,6 +139,20 @@ def main():
                                      *sliced)
         return T_ref
 
+    # two independent pairs traced in ONE program (no vmap): XLA
+    # interleaves the gather-bound backbone of one pair with the
+    # MXU-bound correlator of the other and halves dispatch — measured
+    # +5% vs sequential, while vmap batching is 2.7x SLOWER
+    # (EXPERIMENTS.md E3; tools/bench_dual.py: K=2 wins, K=4 loses it)
+    @partial(jax.jit, static_argnames=())
+    def run_idx2(keys2, i, j, *st):
+        def one(key, idx):
+            sliced = [jax.lax.dynamic_index_in_dim(a, idx, keepdims=False)
+                      for a in st]
+            return register_pair_e2e(params, state, arch, caps, cfg, key,
+                                     *sliced)[1]
+        return one(keys2[0], i), one(keys2[1], j)
+
     def run_pair_i(i, key):
         return run_idx(key, jnp.int32(i), *stacked)
 
@@ -170,11 +184,16 @@ def main():
     assert worst_win <= cfg.icp_budget, "icp budget still insufficient"
     assert worst_box == 0, "ICP grid box does not cover the benchmark clouds"
 
-    # warmup / compile
+    # warmup / compile (both the fused-2 and the odd-tail program)
     t0 = time.time()
     T = run_pair_i(0, key)
     T.block_until_ready()
     log(f"compile+first pair: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    Ta, Tb = run_idx2(jax.random.split(key), jnp.int32(0), jnp.int32(1),
+                      *stacked)
+    jax.block_until_ready((Ta, Tb))
+    log(f"compile fused-2: {time.time()-t0:.1f}s")
 
     # Steady-state throughput with pipelined dispatch: enqueue every pair
     # (JAX dispatch is async — the ~40 ms/launch host+tunnel latency then
@@ -187,11 +206,17 @@ def main():
     # full tunnel round-trip (~40-80 ms) and would dominate the loop
     keys = jax.random.split(key, len(pairs))
     jax.block_until_ready(keys)
+    n = len(pairs)
     t0 = time.time()
-    handles = [run_pair_i(i, k) for i, k in enumerate(keys)]
+    handles = [None] * n
+    for b in range(0, n - 1, 2):
+        handles[b], handles[b + 1] = run_idx2(
+            keys[b: b + 2], jnp.int32(b), jnp.int32(b + 1), *stacked)
+    if n % 2:
+        handles[n - 1] = run_pair_i(n - 1, keys[n - 1])
     Ts_out = [np.asarray(h) for h in handles]
     wall = time.time() - t0
-    pps = len(pairs) / wall
+    pps = n / wall
 
     rres, rtes = [], []
     for i, (p, T) in enumerate(zip(pairs, Ts_out)):

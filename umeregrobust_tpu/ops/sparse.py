@@ -298,12 +298,17 @@ def sparse_conv(
 
     Returns (N_out, Cout) fp32.
 
-    Formulation note: a per-tap lax.scan measures faster end-to-end than
-    materializing the (N_out, K, Cin) gather and contracting in one
-    (K*Cin)-deep matmul — XLA fuses the gather into each small matmul and
-    the accumulator stays on-chip, while the one-shot variant stages a
-    ~110 MB tensor through HBM per 64k-row layer (benchmarked both ways on
-    v5e: 5.7 vs 4.9 pairs/s whole-pipeline).
+    Formulation notes (benchmarked on v5e):
+    - a per-tap lax.scan beats materializing the (N_out, K, Cin) gather
+      and contracting in one (K*Cin)-deep matmul — XLA fuses the gather
+      into each small matmul and the accumulator stays on-chip, while the
+      one-shot variant stages a ~110 MB tensor through HBM per 64k-row
+      layer (5.7 vs 4.9 pairs/s whole-pipeline);
+    - every kernel map this package builds is MONOTONE per tap (sorted
+      levels + constant-code-offset queries, see build_level_maps); a
+      cummax-filled indices_are_sorted=True gather was tried and LOST
+      (5.55 vs 5.78 pairs/s whole-pipeline) — XLA v5e gains nothing from
+      the sorted promise and the cummax + mask-multiply add overhead.
     """
     K = weights.shape[0]
     f = feats.astype(compute_dtype)
