@@ -78,6 +78,27 @@ class TestTrainStep:
         expect = [k for k, _ in Trainer.BEST_KEYS if k in m]
         assert len(best) == len(expect), (best, expect)
 
+    def test_nonfinite_grad_batch_skips_update(self, tmp_path, batch2):
+        """A batch that produces non-finite grads must leave params,
+        optimizer state and BN stats untouched (one degenerate batch must
+        not poison the run) and flag metrics['nonfinite_grad']."""
+        tr = Trainer(TINY, str(tmp_path))
+        b = {k: jnp.asarray(v) for k, v in batch2.items()}
+        # poison one weight: the forward goes non-finite, so grads do too
+        # (masked fixed-shape math absorbs non-finite *data*, so data is
+        # not a reliable trigger — a degenerate real batch enters through
+        # the loss surface instead, which this guard also covers)
+        leaves, treedef = jax.tree_util.tree_flatten(tr.params)
+        leaves[0] = jnp.full_like(leaves[0], jnp.inf)
+        tr.params = jax.tree_util.tree_unflatten(treedef, leaves)
+        p0 = jax.tree_util.tree_map(lambda x: np.asarray(x), tr.params)
+        p1, bn1, opt1, m = tr.train_step(tr.params, tr.bn_state,
+                                         tr.opt_state, b)
+        assert float(m["nonfinite_grad"]) == 1.0
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(p1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_checkpoint_roundtrip(self, tmp_path, batch2):
         tr = Trainer(TINY, str(tmp_path))
         tr.end_epoch({"total_loss": 1.0, "pointwise_loss": 0.5,

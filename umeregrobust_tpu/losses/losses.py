@@ -55,7 +55,11 @@ def pointwise_infonce(
     pos = tgt_feat[matches[:, 1]]
 
     def _norm(x):
-        return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-8)
+        # rsqrt(sum^2 + eps) rather than /(norm + eps): linalg.norm's jax
+        # gradient is NaN at an exactly-zero row (padded gathers produce
+        # those); F.normalize in the reference (loss.py:23) is finite there
+        return x * jax.lax.rsqrt(
+            jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
 
     d_pos = jnp.sum(_norm(anchor) * _norm(pos), axis=-1, keepdims=True)  # (M,1)
     D = jnp.matmul(anchor, pos.T, preferred_element_type=jnp.float32)  # (M,M)
@@ -108,7 +112,11 @@ def ume_contrastive_loss(
                          preferred_element_type=jnp.float32),
         0.0,
     )
-    D = jnp.sqrt(d2) / jnp.sqrt(2.0)
+    # +eps under the sqrt: jnp's sqrt has an infinite gradient at 0 and
+    # positives approach d2 == 0 as training converges; torch.norm (the
+    # reference, loss.py:99) defines the 0-gradient as 0, so the guard IS
+    # the parity behavior (values shift by < 1e-6)
+    D = jnp.sqrt(d2 + 1e-12) / jnp.sqrt(2.0)
     r = jnp.sqrt(jnp.float32(src_ume.shape[-1]))
     sim = (r - 2.0 * D) / r
 
@@ -160,7 +168,11 @@ def cube_registration_loss(
     cube = jnp.asarray(CUBE_CORNERS) * cube_scale  # (8,3)
     est = cube[None] @ jnp.swapaxes(R, -1, -2) + t[:, None, :]  # (K,8,3)
     gt = cube @ R_gt.T + t_gt  # (8,3)
-    per_kp = jnp.mean(jnp.linalg.norm(gt[None] - est, axis=-1), axis=-1)  # (K,)
+    # sqrt(.. + eps) instead of linalg.norm: the norm's jax gradient is
+    # NaN at 0 and est -> gt exactly as the model improves (torch.norm
+    # returns a 0 gradient there — reference train_coloring.py loss path)
+    per_kp = jnp.mean(jnp.sqrt(
+        jnp.sum((gt[None] - est) ** 2, axis=-1) + 1e-12), axis=-1)  # (K,)
 
     ratio = jnp.where(kp_mask, nn_intersection_ratio, -1.0)
     cond = (ratio >= nn_inter_ratio_thr) & kp_mask

@@ -49,6 +49,12 @@ class TrainKeypoints(NamedTuple):
     tgt_kpts: jnp.ndarray  # (K, 3) = GT-transformed src keypoints
     kp_mask: jnp.ndarray  # (K,) valid keypoint
     nn_intersection_ratio: jnp.ndarray  # (K,)
+    # () bool: the 2x working-set truncation MAY have dropped selectable
+    # candidates (working set full AND < num_samples survived density) —
+    # the only regime where this differs from the reference's
+    # evaluate-density-on-all-candidates selection. Logged as
+    # `kp_truncated` by the trainer; 0 across an epoch == exact.
+    approx_truncated: jnp.ndarray
 
 
 @partial(
@@ -148,7 +154,13 @@ def generate_training_umes(
 
     src_ume = src_ume * kp_mask[:, None, None]
     tgt_ume = tgt_ume * kp_mask[:, None, None]
+    # approximation signal: candidates beyond the working set existed AND
+    # density rejections left fewer than num_samples survivors — only then
+    # can the reference's full-candidate selection differ
+    truncated = (jnp.sum(cand.astype(jnp.int32)) > work) & (
+        jnp.sum(keep.astype(jnp.int32)) < num_samples)
     return TrainKeypoints(
         src_ume=src_ume, tgt_ume=tgt_ume,
         src_kpts=kpts * kp_mask[:, None], tgt_kpts=tgt_kpts * kp_mask[:, None],
-        kp_mask=kp_mask, nn_intersection_ratio=ratio)
+        kp_mask=kp_mask, nn_intersection_ratio=ratio,
+        approx_truncated=truncated)

@@ -135,6 +135,9 @@ def _pair_losses(params, bn_state, batch_pair, cfg: TrainConfig, arch: ArchSpec,
             tau=cfg.tau_ume, tau_neg=cfg.tau_ume_neg)
         metrics["ume_loss"] = ume_l
         metrics["num_keypoints"] = jnp.sum(kp.kp_mask.astype(jnp.float32))
+        # working-set approximation signal (train_keypoints.py): nonzero
+        # epoch mean => the 2x working set truncated selectable candidates
+        metrics["kp_truncated"] = kp.approx_truncated.astype(jnp.float32)
         total = total + cfg.ume_loss_weight * ume_l
         if cfg.use_reg_loss:
             reg_l, rre, rte = cube_registration_loss(
@@ -173,9 +176,23 @@ def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation):
     def train_step(params, bn_state, opt_state, batch):
         (loss, (metrics, new_bn)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, bn_state, batch)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_bn, opt_state, metrics
+        # skip the update (params, opt state AND bn stats) when any grad
+        # is non-finite: one degenerate batch must not poison the run.
+        # Surfaced as metrics['nonfinite_grad'] so an epoch mean > 0 is
+        # visible in the logs.
+        finite = jnp.all(jnp.asarray([
+            jnp.all(jnp.isfinite(g))
+            for g in jax.tree_util.tree_leaves(grads)]))
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+
+        def sel(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old)
+
+        metrics["nonfinite_grad"] = 1.0 - finite.astype(jnp.float32)
+        return (sel(new_params, params), sel(new_bn, bn_state),
+                sel(new_opt, opt_state), metrics)
 
     @jax.jit
     def eval_step(params, bn_state, batch):
