@@ -46,11 +46,12 @@ BENCHMARK_CONFIGS = {
 _CFG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
 
 
-def _pad_cloud(pts, seg, coords, cap):
+def _pad_cloud(pts, seg, coords, cap, rng=None):
     n = min(len(pts), cap)
     sel = np.arange(len(pts))
     if len(pts) > cap:
-        sel = np.random.choice(len(pts), cap, replace=False)
+        rng = rng if rng is not None else np.random.default_rng()
+        sel = rng.choice(len(pts), cap, replace=False)
     c4 = np.full((cap, 4), 2**20, np.int32)
     c4[:n, 0] = 0
     c4[:n, 1:] = coords[sel[:n]]
@@ -130,27 +131,31 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
                  for r in (1.0, 0.75, 0.4, 0.2, 0.08))
 
     from umeregrobust_tpu.pipeline.e2e import register_pair_e2e
-    from umeregrobust_tpu.utils.prefetch import prefetch
+    from umeregrobust_tpu.utils.prefetch import prefetch, prefetch_map
 
-    def corr_prep(raw_pts, q):
+    def corr_prep(raw_pts, q, rng):
         # correlator clouds: src @ corr_ds, tgt @ 0.3 (reference hardcode)
         _, sel = quantize_np(raw_pts, q)
         p = raw_pts[sel]
         if len(p) > corr_cap:
-            p = p[np.random.choice(len(p), corr_cap, replace=False)]
+            p = p[rng.choice(len(p), corr_cap, replace=False)]
         buf = np.zeros((corr_cap, 3), np.float32)
         buf[: len(p)] = p
         m = np.arange(corr_cap) < len(p)
         return buf, m
 
-    def prepped():
-        for pair in pair_iter:
-            sp, ss, sc, sm = _pad_cloud(*pair["sem_src"], sem_cap)
-            tp, ts_, tc, tm = _pad_cloud(*pair["sem_tgt"], sem_cap)
-            cs_p, cs_m = corr_prep(pair["raw_src"], float(args.corr_ds))
-            ct_p, ct_m = corr_prep(pair["raw_tgt"], 0.3)
-            yield (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m,
-                   pair["gt_tform"])
+    def prep_one(idx_pair):
+        # per-pair seeded generator (index assigned at submission, in the
+        # main thread): the global numpy RNG is neither thread-safe nor
+        # deterministic under the worker pool
+        idx, pair = idx_pair
+        rng = np.random.default_rng(int(args.seed) * 100003 + idx)
+        sp, ss, sc, sm = _pad_cloud(*pair["sem_src"], sem_cap, rng)
+        tp, ts_, tc, tm = _pad_cloud(*pair["sem_tgt"], sem_cap, rng)
+        cs_p, cs_m = corr_prep(pair["raw_src"], float(args.corr_ds), rng)
+        ct_p, ct_m = corr_prep(pair["raw_tgt"], 0.3, rng)
+        return (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m,
+                pair["gt_tform"])
 
     rre_list, rte_list = [], []
     t_start = None
@@ -183,7 +188,12 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
                   f"({max(idx, 1)/el:.2f} pairs/s)", flush=True)
 
     n_drained = 0
-    for i, item in enumerate(prefetch(prepped(), depth=2)):
+    # 4-worker ordered prep (reference: DataLoader(num_workers=8)); the
+    # numpy-heavy per-pair prep (~2 s) otherwise outweighs the ~0.2 s of
+    # device work and throughput becomes producer-bound
+    for i, item in enumerate(prefetch_map(
+            prep_one, enumerate(prefetch(pair_iter, depth=4)),
+            workers=4, depth=6)):
         k_pair = pair_keys[i % len(pair_keys)]
         (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, gt) = item
         _, T_ref = register_pair_e2e(

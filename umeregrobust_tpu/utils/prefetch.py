@@ -14,13 +14,16 @@ Usage:
 """
 from __future__ import annotations
 
+import collections
 import queue
 import threading
-from typing import Iterable, Iterator, TypeVar
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Iterator, TypeVar
 
 T = TypeVar("T")
+U = TypeVar("U")
 
-__all__ = ["prefetch"]
+__all__ = ["prefetch", "prefetch_map"]
 
 _SENTINEL = object()
 
@@ -53,3 +56,26 @@ def prefetch(it: Iterable[T], depth: int = 2) -> Iterator[T]:
                 raise err[0]
             return
         yield item
+
+
+def prefetch_map(
+    fn: Callable[[T], U], it: Iterable[T], workers: int = 4, depth: int = 8
+) -> Iterator[U]:
+    """Ordered parallel map with a bounded in-flight window — the
+    multi-worker analog of the reference's DataLoader(num_workers=8):
+    `fn` (numpy-heavy prep, releases the GIL) runs on `workers` threads
+    while results stream out in input order; at most `depth` items are
+    in flight, and pulling from `it` `depth` ahead also overlaps any IO
+    the iterator does. Exceptions from `fn` re-raise at the consuming
+    site in order."""
+    ex = ThreadPoolExecutor(max_workers=workers)
+    pending: collections.deque = collections.deque()
+    try:
+        for item in it:
+            pending.append(ex.submit(fn, item))
+            if len(pending) >= depth:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
