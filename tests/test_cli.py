@@ -48,3 +48,17 @@ def test_cfg_is_hashable_static_arg():
     # RegistrationConfig is a static jit arg: must stay hashable
     cfg = _registration_cfg(_args(["corr_mode=knn"]))
     hash(cfg)
+
+
+def test_yaml_style_boolean_overrides():
+    """--set flag=false must parse to Python False, not the truthy string
+    'false' (caught live: filter_by_ume_dist_cond=false silently kept the
+    10000-keypoint filter path on)."""
+    args = _args(["filter_by_ume_dist_cond=false"])
+    assert args.filter_by_ume_dist_cond is False
+    cfg = _registration_cfg(args)
+    assert cfg.filter_by_ume_dist is False
+    assert cfg.num_init_keypoints == cfg.ume_n_samples
+    args = _args(["filter_by_ume_dist_cond=true", "icp_coarse_corr=null"])
+    assert args.filter_by_ume_dist_cond is True
+    assert args.icp_coarse_corr is None

@@ -191,17 +191,45 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
     # 4-worker ordered prep (reference: DataLoader(num_workers=8)); the
     # numpy-heavy per-pair prep (~2 s) otherwise outweighs the ~0.2 s of
     # device work and throughput becomes producer-bound
+    hungarian = bool(getattr(args, "hungarian_matching_flag", False))
+
+    def run_hungarian(k_pair, item, idx):
+        # two-phase parity path: jitted features, host JV assignment,
+        # jitted hypothesize-select (registration.register_pair_hungarian)
+        from umeregrobust_tpu.pipeline.e2e import pair_features_e2e
+        from umeregrobust_tpu.pipeline.registration import (
+            register_pair_hungarian)
+
+        (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, gt) = item
+        sf, tf, csf, ctf = pair_features_e2e(
+            params, state, arch, caps,
+            jnp.asarray(sc), jnp.asarray(sp), jnp.asarray(sm),
+            jnp.asarray(tc), jnp.asarray(tp), jnp.asarray(tm),
+            jnp.asarray(cs_p), jnp.asarray(cs_m),
+            jnp.asarray(ct_p), jnp.asarray(ct_m))
+        res = register_pair_hungarian(
+            reg_cfg, k_pair,
+            jnp.asarray(sp), sf, jnp.asarray(sm),
+            jnp.asarray(tp), tf, jnp.asarray(tm),
+            jnp.asarray(cs_p), csf, jnp.asarray(cs_m),
+            jnp.asarray(ct_p), ctf, jnp.asarray(ct_m),
+            rng=np.random.default_rng(int(args.seed) * 9176 + idx))
+        return res.T_refined
+
     for i, item in enumerate(prefetch_map(
             prep_one, enumerate(prefetch(pair_iter, depth=4)),
             workers=4, depth=6)):
         k_pair = pair_keys[i % len(pair_keys)]
         (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, gt) = item
-        _, T_ref = register_pair_e2e(
-            params, state, arch, caps, reg_cfg, k_pair,
-            jnp.asarray(sc), jnp.asarray(sp), jnp.asarray(sm),
-            jnp.asarray(tc), jnp.asarray(tp), jnp.asarray(tm),
-            jnp.asarray(cs_p), jnp.asarray(cs_m),
-            jnp.asarray(ct_p), jnp.asarray(ct_m))
+        if hungarian:
+            T_ref = run_hungarian(k_pair, item, i)
+        else:
+            _, T_ref = register_pair_e2e(
+                params, state, arch, caps, reg_cfg, k_pair,
+                jnp.asarray(sc), jnp.asarray(sp), jnp.asarray(sm),
+                jnp.asarray(tc), jnp.asarray(tp), jnp.asarray(tm),
+                jnp.asarray(cs_p), jnp.asarray(cs_m),
+                jnp.asarray(ct_p), jnp.asarray(ct_m))
         if i == 0:
             # first pair pays the compile: drain it synchronously and
             # start the steady-state throughput clock after
@@ -303,13 +331,13 @@ def main(argv=None):
     np.random.seed(int(args.seed))
     print(f"Evaluate {args.dataset} benchmark: {args.benchmark}")
     if getattr(args, "hungarian_matching_flag", False):
-        # every shipped benchmark config disables this (e.g.
-        # test_kitti_config.yaml:15); the fused pipeline uses the default
-        # argmin matcher. Hungarian remains available host-side via
-        # pipeline.matching.hungarian_match / pipeline.eval_metrics.
-        print("warning: hungarian_matching_flag=true is not wired into the "
-              "fused eval path; using argmin matching (the default in all "
-              "shipped reference configs)")
+        # reference parity switch (evaluate.py:216-222), off in every
+        # shipped config: 1:1 Hungarian assignment replaces the argmin
+        # matcher via the two-phase host/device split
+        # (registration.register_pair_hungarian). Perf-secondary: the
+        # full distance matrix is fetched per pair and JV is O(n^3).
+        print("hungarian_matching_flag=true: using the two-phase "
+              "Hungarian parity path (host JV assignment)")
 
     if args.synthetic:
         pair_iter, n = _synthetic_pair_iter(args, args.synthetic)

@@ -23,7 +23,7 @@ from umeregrobust_tpu.pipeline.registration import (
     copy_features_to_raw,
 )
 
-__all__ = ["register_pair_e2e"]
+__all__ = ["register_pair_e2e", "pair_features_e2e"]
 
 
 @partial(jax.jit, static_argnames=("arch", "caps", "cfg", "compute_dtype"))
@@ -117,3 +117,37 @@ def register_pairs_batched(
     return jax.vmap(one)(
         keys, src_coords, src_grid, src_mask, tgt_coords, tgt_grid, tgt_mask,
         corr_src_pts, corr_src_mask, corr_tgt_pts, corr_tgt_mask)
+
+
+@partial(jax.jit, static_argnames=("arch", "caps", "compute_dtype"))
+def pair_features_e2e(
+    params: Dict[str, Any],
+    state: Dict[str, Any],
+    arch: ArchSpec,
+    caps: Tuple[int, ...],
+    src_coords: jnp.ndarray, src_grid: jnp.ndarray, src_mask: jnp.ndarray,
+    tgt_coords: jnp.ndarray, tgt_grid: jnp.ndarray, tgt_mask: jnp.ndarray,
+    corr_src_pts: jnp.ndarray, corr_src_mask: jnp.ndarray,
+    corr_tgt_pts: jnp.ndarray, corr_tgt_mask: jnp.ndarray,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The feature stage of register_pair_e2e alone (fused two-cloud
+    forward + 1-NN transfer to the correlator clouds) — for flows whose
+    matching step runs on the host (the Hungarian parity mode,
+    registration.register_pair_hungarian). Returns
+    (src_feat, tgt_feat, corr_src_feat, corr_tgt_feat)."""
+    N = src_coords.shape[0]
+    tgt_b = tgt_coords.at[:, 0].add(jnp.where(tgt_mask, 1, 0))
+    coords2 = jnp.concatenate([src_coords, tgt_b], axis=0)
+    mask2 = jnp.concatenate([src_mask, tgt_mask])
+    caps2 = tuple(2 * c for c in caps)
+    geom = build_unet_geometry(coords2, mask2, arch, caps2)
+    fin = jnp.ones((2 * N, 1), jnp.float32) * mask2[:, None]
+    both, _ = resunet_apply(params, state, geom, fin, arch,
+                            train=False, compute_dtype=compute_dtype)
+    src_feat, tgt_feat = both[:N], both[N:]
+    cs_f = copy_features_to_raw(corr_src_pts, corr_src_mask, src_grid,
+                                src_feat, src_mask)
+    ct_f = copy_features_to_raw(corr_tgt_pts, corr_tgt_mask, tgt_grid,
+                                tgt_feat, tgt_mask)
+    return src_feat, tgt_feat, cs_f, ct_f

@@ -33,7 +33,7 @@ from umeregrobust_tpu.pipeline.icp import icp_point_to_point
 from umeregrobust_tpu.pipeline.matching import argmin_match, probabilistic_match_filter
 from umeregrobust_tpu.pipeline.ume_gen import ume_from_ball_query
 
-__all__ = ["RegistrationConfig", "register_pair_features", "copy_features_to_raw"]
+__all__ = ["RegistrationConfig", "register_pair_features", "register_pair_hungarian", "copy_features_to_raw"]  # noqa: E501
 
 
 @dataclass(frozen=True)
@@ -198,6 +198,135 @@ def register_pair_features(
     if raw_tgt_pts is None:
         raw_tgt_pts, raw_tgt_mask = corr_tgt_pts, corr_tgt_mask
 
+    if run_icp:
+        T_ref, rmse, fit = icp_point_to_point(
+            raw_src_pts, raw_tgt_pts, best_T,
+            max_corr=cfg.icp_max_corr, max_iter=cfg.icp_max_iter,
+            src_mask=raw_src_mask, tgt_mask=raw_tgt_mask,
+            budget=cfg.icp_budget)
+    else:
+        T_ref, rmse, fit = best_T, jnp.float32(0.0), jnp.float32(0.0)
+    return RegistrationResult(
+        T_init=best_T, T_refined=T_ref, icp_rmse=rmse, icp_fitness=fit)
+
+
+# ---------------------------------------------------------------------------
+# Hungarian parity mode (reference evaluate.py:216-222,
+# hungarian_matching_flag) — a two-phase hybrid: the assignment is a host
+# algorithm (native C++ Jonker-Volgenant, as the reference uses scipy's
+# linear_sum_assignment on the CPU), so the pipeline splits into a jitted
+# descriptor/distance phase, the host assignment + probabilistic filter,
+# and a jitted hypothesize-select phase. Off in every shipped config;
+# perf-secondary by construction (the full distance matrix is fetched).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _ume_and_distance(
+    cfg: RegistrationConfig,
+    key: jax.Array,
+    src_pts, src_feat, src_mask,
+    tgt_pts, tgt_feat, tgt_mask,
+):
+    from umeregrobust_tpu.core.ume import ume_pairwise_distance
+
+    k_src, k_tgt = jax.random.split(key)
+    n_init = cfg.num_init_keypoints if cfg.filter_by_ume_dist else cfg.ume_n_samples
+    src_kp, src_kp_ok = _sample_keypoints(k_src, src_pts, src_mask, n_init)
+    tgt_kp, tgt_kp_ok = _sample_keypoints(k_tgt, tgt_pts, tgt_mask, n_init)
+    ume_src = ume_from_ball_query(
+        src_pts, src_feat, src_kp, radius=cfg.ume_r_nn, max_nn=cfg.ume_max_nn,
+        p_mask=src_mask, k_mask=src_kp_ok, normalize=True)
+    ume_tgt = ume_from_ball_query(
+        tgt_pts, tgt_feat, tgt_kp, radius=cfg.ume_r_nn, max_nn=cfg.ume_max_nn,
+        p_mask=tgt_mask, k_mask=tgt_kp_ok, normalize=True)
+    D = ume_pairwise_distance(ume_src, ume_tgt)
+    # invalid keypoints must never be assigned: push them beyond any real
+    # subspace distance (<= sqrt(8)) but keep the matrix finite for JV
+    D = jnp.where(src_kp_ok[:, None] & tgt_kp_ok[None, :], D, 1e3)
+    return ume_src, ume_tgt, D
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _select_from_matches(
+    cfg: RegistrationConfig,
+    key: jax.Array,
+    ume_src, ume_tgt, m_src, m_tgt,
+    corr_src_pts, corr_src_feat, corr_src_mask,
+    corr_tgt_pts, corr_tgt_feat, corr_tgt_mask,
+):
+    G = ume_src[m_src]
+    H = ume_tgt[m_tgt]
+    Ts, _ = estimate_rigid_from_ume(G, H, compute_distance=False)
+    best_T, scores = select_best_transform(
+        corr_src_pts, corr_src_feat, corr_src_mask,
+        corr_tgt_pts, corr_tgt_feat, corr_tgt_mask,
+        Ts, sigma=cfg.corr_kernel_sigma, knn_k=cfg.corr_knn,
+        var_knn=cfg.corr_var_knn, coarse_src=cfg.corr_coarse_src,
+        coarse_tgt=cfg.corr_coarse_tgt,
+        rescore_top=cfg.corr_rescore_top, key=key, mode=cfg.corr_mode)
+    return best_T, scores
+
+
+def register_pair_hungarian(
+    cfg: RegistrationConfig,
+    key: jax.Array,
+    src_pts, src_feat, src_mask,
+    tgt_pts, tgt_feat, tgt_mask,
+    corr_src_pts, corr_src_feat, corr_src_mask,
+    corr_tgt_pts, corr_tgt_feat, corr_tgt_mask,
+    raw_src_pts=None, raw_src_mask=None,
+    raw_tgt_pts=None, raw_tgt_mask=None,
+    run_icp: bool = True,
+    rng=None,
+) -> RegistrationResult:
+    """Reference-parity registration with Hungarian keypoint matching
+    (evaluate.py:216-232): 1:1 assignment over the full UME distance
+    matrix instead of per-source argmin, then the same probabilistic
+    filter over the matched distances. See module note above for the
+    host/device split."""
+    import numpy as np
+
+    from umeregrobust_tpu.pipeline.matching import hungarian_match
+
+    k_ume, k_corr = jax.random.split(key)
+    ume_src, ume_tgt, D = _ume_and_distance(
+        cfg, k_ume, src_pts, src_feat, src_mask, tgt_pts, tgt_feat, tgt_mask)
+    Dh = np.asarray(D)
+    m = hungarian_match(Dh)  # (K, 2), K = min(M, N)
+    dist = Dh[m[:, 0], m[:, 1]]
+    valid = dist < 1e2
+    if not valid.any():  # degenerate pair: no real keypoints at all
+        valid = np.ones_like(valid)
+    if cfg.filter_by_ume_dist:
+        rng = rng if rng is not None else np.random.default_rng(0)
+        a = np.exp((1.0 - dist) / cfg.tau) * valid
+        s = a.sum()
+        p = a / s if s > 0 else valid / valid.sum()
+        k = min(cfg.ume_n_samples, int(valid.sum()))
+        sel = rng.choice(len(m), size=k, replace=False, p=p)
+        m = m[sel]
+    else:
+        m = m[valid]
+    # pad to the static hypothesis count by repeating the best match
+    # (duplicate hypotheses are harmless to the argmax selection)
+    K = cfg.ume_n_samples
+    best_row = m[np.argmin(Dh[m[:, 0], m[:, 1]])]
+    if len(m) < K:
+        m = np.concatenate([m, np.tile(best_row, (K - len(m), 1))], axis=0)
+    m = m[:K]
+
+    best_T, _ = _select_from_matches(
+        cfg, k_corr, ume_src, ume_tgt,
+        jnp.asarray(m[:, 0].astype(np.int32)),
+        jnp.asarray(m[:, 1].astype(np.int32)),
+        corr_src_pts, corr_src_feat, corr_src_mask,
+        corr_tgt_pts, corr_tgt_feat, corr_tgt_mask)
+
+    if raw_src_pts is None:
+        raw_src_pts, raw_src_mask = corr_src_pts, corr_src_mask
+    if raw_tgt_pts is None:
+        raw_tgt_pts, raw_tgt_mask = corr_tgt_pts, corr_tgt_mask
     if run_icp:
         T_ref, rmse, fit = icp_point_to_point(
             raw_src_pts, raw_tgt_pts, best_T,

@@ -28,12 +28,19 @@ def update_namespace_from_yaml(args: argparse.Namespace, yaml_path: str):
 
 
 def apply_overrides(args: argparse.Namespace, overrides: list[str]):
-    """--set key=value pairs; values parsed as python literals when possible."""
+    """--set key=value pairs; values parsed as python literals when
+    possible, with YAML-style booleans/null accepted ('--set flag=false'
+    must NOT become the truthy string \"false\")."""
+    _YAML_WORDS = {"true": True, "false": False,
+                   "null": None, "none": None}
     for ov in overrides or []:
         key, _, raw = ov.partition("=")
-        try:
-            val = ast.literal_eval(raw)
-        except (ValueError, SyntaxError):
-            val = raw
+        if raw.strip().lower() in _YAML_WORDS:
+            val = _YAML_WORDS[raw.strip().lower()]
+        else:
+            try:
+                val = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                val = raw
         setattr(args, key.strip(), val)
     return args
