@@ -14,6 +14,7 @@ Prints ONE JSON line:
 (baseline: the 50 pairs/sec/chip north star from BASELINE.md; recall and
 timing details go to stderr).
 """
+import argparse
 import json
 import os
 import sys
@@ -29,6 +30,18 @@ def log(*a):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--regime", choices=("reduced", "reference"),
+                    default="reduced",
+                    help="operating point: 'reduced' (16k voxels/2048 kpts/"
+                         "512 hyps, the perf headline) or 'reference' (the "
+                         "reference's own kitti_test settings: 50k voxels, "
+                         "10000 kpts, 2500 hyps, 10k corr, ICP 200@0.2 — "
+                         "test_kitti_config.yaml:7,13,18)")
+    ap.add_argument("--pairs-per-regime", type=int, default=0,
+                    help="override pairs per regime (default 7 reduced / 3 "
+                         "reference)")
+    cli = ap.parse_args()
     import jax
     import jax.numpy as jnp
 
@@ -45,20 +58,45 @@ def main():
         RegistrationConfig, register_pair_features)
 
     log(f"devices: {jax.devices()}")
-    SEM_CAP = 16384
-    CORR_CAP = 4096
     # regime suite mirroring the reference's benchmark families
-    # (BASELINE.md: kitti / rotkitti 150-180 deg / lokitti low-overlap)
+    # (BASELINE.md: kitti / rotkitti 150-180 deg / lokitti low-overlap).
+    # Viewpoint-dependent "lidar" observation (spherical z-buffer occlusion,
+    # per-scan clutter, sensor baseline) — the hardened, non-saturated
+    # benchmark of the round-2 VERDICT (#3): the two scans sample the
+    # surfaces DIFFERENTLY, so recall is free to fall below 100%.
     REGIMES = {
-        "nominal": dict(max_rotation_deg=120, max_translation=8.0),
-        "rotheavy": dict(max_rotation_deg=180, min_rotation_deg=150,
-                         max_translation=8.0),
-        "lowoverlap": dict(max_rotation_deg=120, max_translation=12.0,
-                           sector_deg=250.0),
+        "nominal": dict(baseline=8.0, max_rotation_deg=120,
+                        max_translation=8.0),
+        "rotheavy": dict(baseline=8.0, max_rotation_deg=180,
+                         min_rotation_deg=150, max_translation=8.0),
+        "lowoverlap": dict(baseline=22.0, max_rotation_deg=120,
+                           max_translation=12.0),
     }
-    N_PER_REGIME = 7
     arch = ARCHS["ResUNetSmall2"]
-    caps = (SEM_CAP, 12288, 6144, 3072, 1024)
+    if cli.regime == "reference":
+        # the reference's own kitti_test operating point
+        # (configs/benchmarks/test_kitti_config.yaml:7,13,18 and
+        # evaluate.py:196,304): max_pc_size 50000, 10000 init keypoints,
+        # ume_n_samples 2500, pc_corr_max_size 10000, ICP 200 iters @ 0.2
+        SEM_CAP, CORR_CAP = 50176, 10240
+        caps = (SEM_CAP, 37632, 18816, 9408, 3200)
+        N_PER_REGIME = cli.pairs_per_regime or 3
+        cfg = RegistrationConfig()  # defaults ARE the reference settings
+        scene_kw = dict(extent=50.0, ground_points=30000,
+                        structure_points=60000)
+        sem_points = 125000
+    else:
+        SEM_CAP, CORR_CAP = 16384, 4096
+        caps = (SEM_CAP, 12288, 6144, 3072, 1024)
+        N_PER_REGIME = cli.pairs_per_regime or 7
+        cfg = RegistrationConfig(
+            num_init_keypoints=2048, ume_n_samples=512,
+            corr_coarse_src=1024, corr_coarse_tgt=1024, corr_rescore_top=32,
+            icp_max_corr=0.4, icp_max_iter=60,
+            icp_coarse_corr=None)
+        scene_kw = dict(extent=25.0, ground_points=12000,
+                        structure_points=24000)
+        sem_points = 50000
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "weights", "synthetic_pretrain.pkl")
     if os.path.exists(ckpt):
@@ -69,20 +107,15 @@ def main():
     else:
         params, state = init_resunet(jax.random.PRNGKey(0), arch, 1, 32)
         log("no pretrained checkpoint -> random init")
-    cfg = RegistrationConfig(
-        num_init_keypoints=2048, ume_n_samples=512,
-        corr_coarse_src=1024, corr_coarse_tgt=1024, corr_rescore_top=32,
-        icp_max_corr=0.4, icp_max_iter=60,
-        icp_coarse_corr=None)
 
-    def prep_pair(seed, **regime):
-        pair = make_pair(SceneConfig(extent=25.0, ground_points=12000,
-                                     structure_points=24000, seed=seed),
+    def prep_pair(seed, baseline, **regime):
+        pair = make_pair(SceneConfig(observe_mode="lidar", baseline=baseline,
+                                     seed=seed, **scene_kw),
                          seed=seed, **regime)
         out = {"gt": pair["gt_tform"]}
         for tag, pts, seg in [("src", pair["src_pts"], pair["src_seg"]),
                               ("tgt", pair["tgt_pts"], pair["tgt_seg"])]:
-            ep, es = equalize_sampling(pts, seg, SEMConfig(num_points=50000,
+            ep, es = equalize_sampling(pts, seg, SEMConfig(num_points=sem_points,
                                                            seed=seed))
             keep = es != 0
             ep, es = ep[keep], es[keep]
@@ -184,16 +217,21 @@ def main():
     assert worst_win <= cfg.icp_budget, "icp budget still insufficient"
     assert worst_box == 0, "ICP grid box does not cover the benchmark clouds"
 
-    # warmup / compile (both the fused-2 and the odd-tail program)
+    # warmup / compile (both the fused-2 and the odd-tail program).
+    # The fused-2 trick is a ~5% win at the reduced point but doubles the
+    # executable; at the 50k reference point dispatch latency is <2% of the
+    # ~0.9 s/pair device time, so pairs go one-at-a-time there.
+    use_dual = cli.regime == "reduced"
     t0 = time.time()
     T = run_pair_i(0, key)
     T.block_until_ready()
     log(f"compile+first pair: {time.time()-t0:.1f}s")
-    t0 = time.time()
-    Ta, Tb = run_idx2(jax.random.split(key), jnp.int32(0), jnp.int32(1),
-                      *stacked)
-    jax.block_until_ready((Ta, Tb))
-    log(f"compile fused-2: {time.time()-t0:.1f}s")
+    if use_dual:
+        t0 = time.time()
+        Ta, Tb = run_idx2(jax.random.split(key), jnp.int32(0), jnp.int32(1),
+                          *stacked)
+        jax.block_until_ready((Ta, Tb))
+        log(f"compile fused-2: {time.time()-t0:.1f}s")
 
     # Steady-state throughput with pipelined dispatch: enqueue every pair
     # (JAX dispatch is async — the ~40 ms/launch host+tunnel latency then
@@ -209,11 +247,15 @@ def main():
     n = len(pairs)
     t0 = time.time()
     handles = [None] * n
-    for b in range(0, n - 1, 2):
-        handles[b], handles[b + 1] = run_idx2(
-            keys[b: b + 2], jnp.int32(b), jnp.int32(b + 1), *stacked)
-    if n % 2:
-        handles[n - 1] = run_pair_i(n - 1, keys[n - 1])
+    if use_dual:
+        for b in range(0, n - 1, 2):
+            handles[b], handles[b + 1] = run_idx2(
+                keys[b: b + 2], jnp.int32(b), jnp.int32(b + 1), *stacked)
+        if n % 2:
+            handles[n - 1] = run_pair_i(n - 1, keys[n - 1])
+    else:
+        for b in range(n):
+            handles[b] = run_pair_i(b, keys[b])
     Ts_out = [np.asarray(h) for h in handles]
     wall = time.time() - t0
     pps = n / wall
@@ -239,8 +281,10 @@ def main():
     np_r = float(((rres <= 1.5) & (rtes <= 0.6)).mean())
     log(f"synthetic recall: NP={100*np_r:.1f}% SP={100*sp:.1f}% | "
         f"{pps:.3f} pairs/s ({len(pairs)} pairs in {wall:.2f}s)")
+    metric = ("reg_pairs_per_sec" if cli.regime == "reduced"
+              else "reg_pairs_per_sec_reference")
     print(json.dumps({
-        "metric": "reg_pairs_per_sec",
+        "metric": metric,
         "value": round(pps, 4),
         "unit": "pairs/s",
         "vs_baseline": round(pps / 50.0, 5),

@@ -10,6 +10,10 @@ from umeregrobust_tpu.pipeline.registration import RegistrationConfig
 from umeregrobust_tpu.utils.config import (
     apply_overrides, update_namespace_from_yaml)
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier; fast gate runs -m 'not slow'
+
 
 def _args(overrides):
     args = argparse.Namespace(set=list(overrides))

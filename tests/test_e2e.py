@@ -10,6 +10,9 @@ from umeregrobust_tpu.models.resunet import ARCHS, init_resunet
 from umeregrobust_tpu.ops.voxel import coords_to_grid_pts_np, quantize_np
 from umeregrobust_tpu.pipeline.e2e import register_pair_e2e, register_pairs_batched
 from umeregrobust_tpu.pipeline.registration import RegistrationConfig
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier; fast gate runs -m 'not slow'
 
 SEM_CAP, CORR_CAP = 2048, 1024
 CAPS = (SEM_CAP, 2048, 1024, 512, 256)

@@ -10,6 +10,10 @@ from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair
 from umeregrobust_tpu.pipeline.registration import (
     RegistrationConfig, register_pair_features, register_pair_hungarian)
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy tier; fast gate runs -m 'not slow'
+
 CFG = RegistrationConfig(num_init_keypoints=192, ume_n_samples=48,
                          ume_max_nn=128, corr_coarse_src=None,
                          corr_rescore_top=16, icp_max_corr=0.5,

@@ -3,6 +3,7 @@ streaming argmin matching, correlator hypothesis selection, grid-NN + ICP."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from umeregrobust_tpu.core.transforms import apply_transform, make_transform
 from umeregrobust_tpu.core.ume import moment_matrix, ume_pairwise_distance
@@ -157,6 +158,7 @@ class TestCorrelator:
             src, fs, mask, tgt, ft, mask, Ts, sigma=1.5, coarse_src=None)
         np.testing.assert_allclose(np.asarray(best_T), pair["gt_tform"], atol=1e-5)
 
+    @pytest.mark.slow  # exhaustive cross-check; fast tier keeps test_selects_gt_hypothesis
     def test_two_stage_agrees_with_exact(self, rng, key):
         from umeregrobust_tpu.core.transforms import random_rigid_transform
         from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair

@@ -9,6 +9,8 @@ import pytest
 from umeregrobust_tpu.parallel import make_mesh, ume_from_ball_query_sp
 from umeregrobust_tpu.pipeline.ume_gen import ume_from_ball_query
 
+pytestmark = pytest.mark.slow  # heavy tier; fast gate runs -m 'not slow'
+
 
 @pytest.mark.parametrize("max_nn", [1000, 37])  # uncapped + cap straddles shards
 def test_sp_sharded_matches_single_device(max_nn):

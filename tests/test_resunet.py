@@ -80,6 +80,7 @@ class TestForward:
             np.asarray(out1)[:n], np.asarray(out2)[:n], atol=2e-4)
 
 
+@pytest.mark.slow  # compile-dominated variant coverage (63 s on 1 core)
 class TestSixLevelFamily:
     def test_resunet5_forward(self):
         """6-level variant: k5 kernels and the deep stride chain (1,2,2,2,2,3)

@@ -3,6 +3,7 @@ adjointness; masked batch norm vs numpy."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from umeregrobust_tpu.ops.sparse import (
     build_conv_map,
@@ -220,8 +221,10 @@ class TestGeometryEquivalence:
     def test_resunetsmall2(self, rng):
         self._check(rng, "ResUNetSmall2")
 
+    @pytest.mark.slow  # non-flagship arch variant (compile-heavy)
     def test_resunet_k7_stride4(self, rng):
         self._check(rng, "ResUNet")
 
+    @pytest.mark.slow  # non-flagship arch variant (compile-heavy)
     def test_resunet2_k5_stride2(self, rng):
         self._check(rng, "ResUNet2")

@@ -12,6 +12,8 @@ from umeregrobust_tpu.data.synthetic import SceneConfig, make_collated_batch
 from umeregrobust_tpu.parallel import make_mesh, replicate, shard_batch
 from umeregrobust_tpu.train import TrainConfig, Trainer, load_checkpoint
 
+pytestmark = pytest.mark.slow  # heavy tier; fast gate runs -m 'not slow'
+
 
 TINY = TrainConfig(
     max_pc_size=1024,

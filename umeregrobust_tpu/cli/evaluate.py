@@ -90,6 +90,12 @@ def _registration_cfg(args) -> RegistrationConfig:
         icp_coarse_corr=icp_coarse,
         icp_coarse_iter=int(getattr(args, "icp_coarse_iter",
                                     defaults.icp_coarse_iter)),
+        icp_raw_iter=int(getattr(args, "icp_raw_iter",
+                                 defaults.icp_raw_iter)),
+        icp_raw_budget=int(getattr(args, "icp_raw_budget",
+                                   defaults.icp_raw_budget)),
+        icp_dims=tuple(int(d) for d in str(getattr(
+            args, "icp_dims", "384,384,96")).split(",")),
     )
 
 
@@ -144,6 +150,19 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
         m = np.arange(corr_cap) < len(p)
         return buf, m
 
+    # full-resolution ICP polish stage (reference refine_registration,
+    # evaluate.py:63-110): pad the complete raw clouds to a static cap
+    raw_cap = int(getattr(args, "icp_raw_max_size", 131072))
+    use_raw = reg_cfg.icp_raw_iter > 0
+
+    def raw_prep(raw_pts, rng):
+        p = raw_pts
+        if len(p) > raw_cap:
+            p = p[rng.choice(len(p), raw_cap, replace=False)]
+        buf = np.zeros((raw_cap, 3), np.float32)
+        buf[: len(p)] = p
+        return buf, np.arange(raw_cap) < len(p)
+
     def prep_one(idx_pair):
         # per-pair seeded generator (index assigned at submission, in the
         # main thread): the global numpy RNG is neither thread-safe nor
@@ -154,7 +173,13 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
         tp, ts_, tc, tm = _pad_cloud(*pair["sem_tgt"], sem_cap, rng)
         cs_p, cs_m = corr_prep(pair["raw_src"], float(args.corr_ds), rng)
         ct_p, ct_m = corr_prep(pair["raw_tgt"], 0.3, rng)
-        return (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m,
+        if use_raw:
+            rs_p, rs_m = raw_prep(pair["raw_src"], rng)
+            rt_p, rt_m = raw_prep(pair["raw_tgt"], rng)
+            raws = (rs_p, rs_m, rt_p, rt_m)
+        else:
+            raws = None
+        return (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, raws,
                 pair["gt_tform"])
 
     rre_list, rte_list = [], []
@@ -182,10 +207,16 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
             tt = np.asarray(rte_list)
             np_r = float(((rr <= 1.5) & (tt <= 0.6)).mean())
             sp_r = float(((rr <= 1.0) & (tt <= 0.1)).mean())
-            el = max(time.time() - (t_start or time.time()), 1e-9)
+            # steady-state rate: pairs drained since t_start (pair 0 pays
+            # the compile and is excluded, matching the final summary)
+            if t_start is not None and idx > 0:
+                rate = idx / max(time.time() - t_start, 1e-9)
+                rate_s = f" ({rate:.2f} pairs/s)"
+            else:
+                rate_s = ""
             print(f"[{idx+1}/{n_pairs}] NP={100*np_r:.2f} SP={100*sp_r:.2f} "
-                  f"mRRE={rr.mean():.3f} mRTE={tt.mean():.3f} "
-                  f"({max(idx, 1)/el:.2f} pairs/s)", flush=True)
+                  f"mRRE={rr.mean():.3f} mRTE={tt.mean():.3f}{rate_s}",
+                  flush=True)
 
     n_drained = 0
     # 4-worker ordered prep (reference: DataLoader(num_workers=8)); the
@@ -200,36 +231,49 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
         from umeregrobust_tpu.pipeline.registration import (
             register_pair_hungarian)
 
-        (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, gt) = item
+        (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, raws, gt) = item
         sf, tf, csf, ctf = pair_features_e2e(
             params, state, arch, caps,
             jnp.asarray(sc), jnp.asarray(sp), jnp.asarray(sm),
             jnp.asarray(tc), jnp.asarray(tp), jnp.asarray(tm),
             jnp.asarray(cs_p), jnp.asarray(cs_m),
             jnp.asarray(ct_p), jnp.asarray(ct_m))
+        raw_kw = {}
+        if raws is not None:
+            raw_kw = dict(raw_src_pts=jnp.asarray(raws[0]),
+                          raw_src_mask=jnp.asarray(raws[1]),
+                          raw_tgt_pts=jnp.asarray(raws[2]),
+                          raw_tgt_mask=jnp.asarray(raws[3]))
         res = register_pair_hungarian(
             reg_cfg, k_pair,
             jnp.asarray(sp), sf, jnp.asarray(sm),
             jnp.asarray(tp), tf, jnp.asarray(tm),
             jnp.asarray(cs_p), csf, jnp.asarray(cs_m),
             jnp.asarray(ct_p), ctf, jnp.asarray(ct_m),
-            rng=np.random.default_rng(int(args.seed) * 9176 + idx))
+            rng=np.random.default_rng(int(args.seed) * 9176 + idx),
+            **raw_kw)
         return res.T_refined
 
     for i, item in enumerate(prefetch_map(
             prep_one, enumerate(prefetch(pair_iter, depth=4)),
             workers=4, depth=6)):
         k_pair = pair_keys[i % len(pair_keys)]
-        (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, gt) = item
+        (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, raws, gt) = item
         if hungarian:
             T_ref = run_hungarian(k_pair, item, i)
         else:
+            raw_kw = {}
+            if raws is not None:
+                raw_kw = dict(raw_src_pts=jnp.asarray(raws[0]),
+                              raw_src_mask=jnp.asarray(raws[1]),
+                              raw_tgt_pts=jnp.asarray(raws[2]),
+                              raw_tgt_mask=jnp.asarray(raws[3]))
             _, T_ref = register_pair_e2e(
                 params, state, arch, caps, reg_cfg, k_pair,
                 jnp.asarray(sc), jnp.asarray(sp), jnp.asarray(sm),
                 jnp.asarray(tc), jnp.asarray(tp), jnp.asarray(tm),
                 jnp.asarray(cs_p), jnp.asarray(cs_m),
-                jnp.asarray(ct_p), jnp.asarray(ct_m))
+                jnp.asarray(ct_p), jnp.asarray(ct_m), **raw_kw)
         if i == 0:
             # first pair pays the compile: drain it synchronously and
             # start the steady-state throughput clock after

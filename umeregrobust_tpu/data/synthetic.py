@@ -67,6 +67,22 @@ class SceneConfig:
     noise_std: float = 0.02
     dropout: float = 0.35  # per-scan random point dropout (partial overlap)
     seed: int = 0
+    # --- viewpoint-dependent observation ("lidar" mode) ---------------
+    # observe_mode="iid" reproduces the legacy generator (both scans see
+    # the SAME sampled surface points with iid dropout — saturates recall
+    # at 100%, round-2 VERDICT weak #3). "lidar" raytraces each scan from
+    # its own sensor origin: spherical z-buffer (occlusion + 1/r^2 density
+    # falloff in one step), independent per-scan clutter objects, and a
+    # per-scan ground-z calibration offset.
+    observe_mode: str = "iid"
+    sensor_height: float = 1.8
+    baseline: float = 6.0  # distance between the two sensor origins (m)
+    azimuth_bins: int = 1800  # 0.2 deg horizontal resolution
+    elevation_bins: int = 64  # beams between elevation_range
+    elevation_range: Tuple[float, float] = (-25.0, 15.0)  # degrees
+    lidar_dropout: float = 0.08  # per-return beam dropout
+    n_clutter: int = 6  # independent per-scan objects (movers)
+    ground_z_jitter: float = 0.03  # per-scan ground calibration offset (m)
 
 
 def _sample_box_surface(rng, center, size, yaw, n):
@@ -141,6 +157,57 @@ def make_scene(cfg: SceneConfig) -> Tuple[np.ndarray, np.ndarray]:
     return pts, labels
 
 
+def _lidar_observe(cfg: SceneConfig, p: np.ndarray,
+                   origin: np.ndarray, rng) -> np.ndarray:
+    """Spherical z-buffer scan of the scene from `origin` -> kept indices.
+
+    Bins every point into (azimuth, elevation) cells as seen from the
+    sensor and keeps only the CLOSEST point per cell — occlusion (points
+    behind walls vanish) and 1/r^2 density falloff (far surfaces subtend
+    fewer cells) fall out of the projection, exactly as for a spinning
+    scanner. A small per-return dropout models beam misses.
+    """
+    d = p - origin[None, :]
+    r = np.linalg.norm(d, axis=1)
+    az = np.arctan2(d[:, 1], d[:, 0])
+    el = np.arcsin(np.clip(d[:, 2] / np.maximum(r, 1e-6), -1.0, 1.0))
+    el_lo = np.radians(cfg.elevation_range[0])
+    el_hi = np.radians(cfg.elevation_range[1])
+    in_fov = (el >= el_lo) & (el <= el_hi) & (r >= 1.5)
+    az_bin = ((az + np.pi) / (2 * np.pi) * cfg.azimuth_bins).astype(np.int64)
+    az_bin %= cfg.azimuth_bins
+    el_bin = ((el - el_lo) / (el_hi - el_lo) * cfg.elevation_bins)
+    el_bin = np.clip(el_bin.astype(np.int64), 0, cfg.elevation_bins - 1)
+    cell = az_bin * cfg.elevation_bins + el_bin
+    # z-buffer: first point per cell after sorting by (cell, range)
+    order = np.lexsort((r, cell))
+    c_sorted = cell[order]
+    first = np.ones(len(order), bool)
+    first[1:] = c_sorted[1:] != c_sorted[:-1]
+    sel = order[first & in_fov[order]]
+    if cfg.lidar_dropout > 0:
+        sel = sel[rng.uniform(size=len(sel)) > cfg.lidar_dropout]
+    return sel
+
+
+def _clutter_points(cfg: SceneConfig, rng, pts_per: int = 400):
+    """Independent per-scan objects (parked->moved cars, pedestrians):
+    structure that exists in one scan only, so correspondences cannot rely
+    on every surface being shared."""
+    out = []
+    e = cfg.extent
+    for _ in range(cfg.n_clutter):
+        center = np.array([rng.uniform(-e, e), rng.uniform(-e, e), 0.0],
+                          np.float32)
+        size = rng.uniform([0.6, 0.6, 1.0], [2.5, 5.0, 2.0]).astype(np.float32)
+        out.append(_sample_box_surface(
+            rng, center, size, rng.uniform(0, 2 * np.pi), pts_per))
+    if not out:
+        return (np.zeros((0, 3), np.float32), np.zeros((0,), np.int32))
+    q = np.concatenate(out, axis=0).astype(np.float32)
+    return q, np.full(len(q), 1, np.int32)
+
+
 def make_pair(
     cfg: SceneConfig,
     max_rotation_deg: float = 180.0,
@@ -160,11 +227,17 @@ def make_pair(
     rotkitti's 150-180 deg augmentation); sector_deg < 360 keeps only a
     random azimuth wedge per observation, producing spatially-structured
     partial overlap mirroring lokitti's distant-frame low-overlap pairs.
+
+    With cfg.observe_mode == "lidar", the two scans are raytraced from two
+    sensor origins cfg.baseline meters apart (see _lidar_observe): the
+    observed surface SAMPLES differ between scans, occlusion is
+    viewpoint-dependent, and each scan carries independent clutter — the
+    hardened regime of the round-2 VERDICT (weak #3).
     """
     rng = np.random.default_rng(cfg.seed if seed is None else seed)
     pts, labels = make_scene(cfg)
 
-    def observe(p, lab):
+    def observe_iid(p, lab):
         keep = rng.uniform(size=len(p)) > cfg.dropout
         if sector_deg < 360.0:
             center = rng.uniform(0, 2 * np.pi)
@@ -175,8 +248,34 @@ def make_pair(
         q = p[keep] + rng.normal(scale=cfg.noise_std, size=(keep.sum(), 3))
         return q.astype(np.float32), lab[keep]
 
-    src_pts, src_seg = observe(pts, labels)
-    tgt_world, tgt_seg = observe(pts, labels)
+    def observe_lidar(p, lab, origin):
+        cp, cl = _clutter_points(cfg, rng)
+        p_all = np.concatenate([p, cp], axis=0)
+        l_all = np.concatenate([lab, cl], axis=0)
+        sel = _lidar_observe(cfg, p_all, origin, rng)
+        if sector_deg < 360.0:
+            center = rng.uniform(0, 2 * np.pi)
+            az = np.arctan2(p_all[sel, 1] - origin[1],
+                            p_all[sel, 0] - origin[0])
+            half = np.radians(sector_deg) / 2
+            d = np.abs((az - center + np.pi) % (2 * np.pi) - np.pi)
+            sel = sel[d <= half]
+        q = p_all[sel] + rng.normal(scale=cfg.noise_std, size=(len(sel), 3))
+        q[:, 2] += rng.uniform(-cfg.ground_z_jitter, cfg.ground_z_jitter)
+        return q.astype(np.float32), l_all[sel]
+
+    if cfg.observe_mode == "lidar":
+        o_src = np.array([rng.uniform(-0.25, 0.25) * cfg.extent,
+                          rng.uniform(-0.25, 0.25) * cfg.extent,
+                          cfg.sensor_height], np.float64)
+        th = rng.uniform(0, 2 * np.pi)
+        o_tgt = o_src + cfg.baseline * np.array(
+            [np.cos(th), np.sin(th), 0.0])
+        src_pts, src_seg = observe_lidar(pts, labels, o_src)
+        tgt_world, tgt_seg = observe_lidar(pts, labels, o_tgt)
+    else:
+        src_pts, src_seg = observe_iid(pts, labels)
+        tgt_world, tgt_seg = observe_iid(pts, labels)
 
     mag = rng.uniform(min_rotation_deg, max_rotation_deg)
     ang = np.radians(mag * (1 if rng.uniform() < 0.5 else -1))

@@ -14,7 +14,8 @@ TPU-specific structure (gathers are the scarce resource on v5e):
 - points are pre-gathered into sorted order at build time, removing the
   order[] indirection from the per-candidate hot path; masked rows are
   parked at +inf so no mask gather is needed either.
-- (start, count) pack into one int32 word per cell (N < 2^15), halving
+- (start, count) pack into one int32 word per cell (start < 2^20 rows,
+  count < 2^11 per cell — raw-resolution clouds included), halving
   run-table gather traffic.
 
 Replaces the reference's Open3D/KDTree correspondence search
@@ -45,7 +46,7 @@ class DenseGrid(NamedTuple):
     points: jnp.ndarray  # (N, 3) original points (for callers; not queried)
     points_sorted: jnp.ndarray  # (N+1, 3) points[order], masked rows at FAR
     order: jnp.ndarray  # (N,) int32 rows sorted by flat cell id
-    runs: jnp.ndarray  # (C+1,) int32 packed start | count << 16
+    runs: jnp.ndarray  # (C+1,) int32 packed start | count << 20
     origin: jnp.ndarray  # (3,) int32 min cell coordinate (box anchor)
     overflow: jnp.ndarray  # () int32 valid points outside the box
     cell: float
@@ -74,7 +75,7 @@ def _build(points, mask, cell, dims):
         pos + 1, mode="drop")
     count = jnp.maximum(end - start, 0)
     count = count.at[C].set(0)  # spill slot never matches
-    runs = jnp.where(count > 0, start, jnp.int32(N)) | (count << 16)
+    runs = jnp.where(count > 0, start, jnp.int32(N)) | (count << 20)
     ps = jnp.where(mask[order, None], points[order], jnp.float32(_FAR))
     ps = jnp.concatenate([ps, jnp.full((1, 3), jnp.float32(_FAR))], axis=0)
     return order, ps, runs, origin, overflow
@@ -85,12 +86,12 @@ def max_cell_count(grid: "DenseGrid") -> jnp.ndarray:
     window holds <= budget points (3 * max_cell_count <= budget is a
     sufficient bound). Reduce over the dense table; call outside hot
     loops."""
-    return jnp.max(grid.runs >> 16)
+    return jnp.max(grid.runs >> 20)
 
 
 @partial(jax.jit, static_argnames=("dims",))
 def _max_window(runs, dims):
-    c = (runs[:-1] >> 16).reshape(dims)
+    c = (runs[:-1] >> 20).reshape(dims)
     w = c
     w = w.at[:, :, :-1].add(c[:, :, 1:])  # z+1 neighbor
     w = w.at[:, :, 1:].add(c[:, :, :-1])  # z-1 neighbor
@@ -111,8 +112,8 @@ def build_dense_grid(
     dims: Tuple[int, int, int] = DEFAULT_DIMS,
 ) -> DenseGrid:
     """Index `points` for radius-bounded NN with search radius <= cell."""
-    if points.shape[0] > 32767:
-        raise ValueError("packed run table needs N <= 32767 points")
+    if points.shape[0] > (1 << 20) - 2:
+        raise ValueError("packed run table needs N < 2^20 points")
     order, ps, runs, origin, overflow = _build(points, mask, float(cell),
                                                tuple(dims))
     return DenseGrid(points=points, points_sorted=ps, order=order, runs=runs,
@@ -145,8 +146,8 @@ def _query(points_sorted, order, runs, origin, queries, q_mask,
     # window [s, e) over the sorted order covering the <=3 z cells
     def run_bounds(flat3):  # (M, 9, 3) cell ids -> per-cell (start, end)
         r = runs[flat3]
-        s = r & jnp.int32(0xFFFF)
-        c = r >> 16
+        s = r & jnp.int32(0xFFFFF)
+        c = r >> 20
         return s, jnp.where(c > 0, s + c, 0)
 
     zspan = jnp.stack([flat_lo,

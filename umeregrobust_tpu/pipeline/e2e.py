@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from umeregrobust_tpu.models.resunet import ArchSpec, build_unet_geometry, resunet_apply
-from umeregrobust_tpu.ops.densegrid import DEFAULT_DIMS, build_dense_grid
+from umeregrobust_tpu.ops.densegrid import build_dense_grid
 from umeregrobust_tpu.pipeline.icp import _icp_loop
 from umeregrobust_tpu.pipeline.registration import (
     RegistrationConfig,
@@ -38,6 +38,10 @@ def register_pair_e2e(
     tgt_coords: jnp.ndarray, tgt_grid: jnp.ndarray, tgt_mask: jnp.ndarray,
     corr_src_pts: jnp.ndarray, corr_src_mask: jnp.ndarray,
     corr_tgt_pts: jnp.ndarray, corr_tgt_mask: jnp.ndarray,
+    raw_src_pts: jnp.ndarray | None = None,
+    raw_src_mask: jnp.ndarray | None = None,
+    raw_tgt_pts: jnp.ndarray | None = None,
+    raw_tgt_mask: jnp.ndarray | None = None,
     compute_dtype=jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full pipeline in one launch. Returns (T_init, T_refined).
@@ -47,6 +51,10 @@ def register_pair_e2e(
     tgt=src+1), so a single sparse pyramid holds both clouds and the conv
     matmuls see twice the rows (better MXU utilization than two half-size
     passes; also one sort pass instead of two).
+
+    raw_*: optional full-resolution clouds for the final ICP polish
+    (reference refine_registration runs on the COMPLETE raw clouds,
+    evaluate.py:63-110; cfg.icp_raw_iter controls the stage).
     """
     N = src_coords.shape[0]
     tgt_b = tgt_coords.at[:, 0].add(jnp.where(tgt_mask, 1, 0))
@@ -70,18 +78,25 @@ def register_pair_e2e(
         corr_src_pts, cs_f, corr_src_mask, corr_tgt_pts, ct_f, corr_tgt_mask)
 
     T_cur = best_T
+    dims = tuple(cfg.icp_dims)
     stages = []
     if cfg.icp_coarse_corr is not None:
-        stages.append((float(cfg.icp_coarse_corr), int(cfg.icp_coarse_iter), 32))
+        stages.append((float(cfg.icp_coarse_corr), int(cfg.icp_coarse_iter),
+                       32, corr_src_pts, corr_src_mask,
+                       corr_tgt_pts, corr_tgt_mask))
     stages.append((float(cfg.icp_max_corr), int(cfg.icp_max_iter),
-                   int(cfg.icp_budget)))
-    for corr, iters, budget in stages:
-        grid = build_dense_grid(corr_tgt_pts, corr_tgt_mask, cell=corr,
-                                dims=DEFAULT_DIMS)
+                   int(cfg.icp_budget), corr_src_pts, corr_src_mask,
+                   corr_tgt_pts, corr_tgt_mask))
+    if raw_src_pts is not None and cfg.icp_raw_iter > 0:
+        stages.append((float(cfg.icp_max_corr), int(cfg.icp_raw_iter),
+                       int(cfg.icp_raw_budget), raw_src_pts, raw_src_mask,
+                       raw_tgt_pts, raw_tgt_mask))
+    for corr, iters, budget, s_pts, s_mask, t_pts, t_mask in stages:
+        grid = build_dense_grid(t_pts, t_mask, cell=corr, dims=dims)
         arrays = (grid.points, grid.points_sorted, grid.order, grid.runs,
                   grid.origin, grid.overflow)
-        T_cur, _, _, _ = _icp_loop(corr_src_pts, corr_src_mask, arrays, T_cur,
-                                   corr, iters, budget, DEFAULT_DIMS)
+        T_cur, _, _, _ = _icp_loop(s_pts, s_mask, arrays, T_cur,
+                                   corr, iters, budget, dims)
     return best_T, T_cur
 
 

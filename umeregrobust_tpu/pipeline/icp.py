@@ -86,6 +86,21 @@ def _icp_loop(src, src_mask, grid_arrays, init_T, max_corr, max_iter, budget,
             & (jnp.abs(prev_rmse - rmse)
                <= jnp.maximum(1e-5 * prev_rmse, 1e-5 * max_corr))
         )
+        # Displacement-based exit: when this iteration moved the cloud by
+        # <0.1 mm RMS the remaining motion is geometrically negligible
+        # (deltas contract; the tail sums to well under the 1°/0.1 m strict
+        # threshold). The rmse/fitness chatter criterion above misses this
+        # fixed point when correspondences limit-cycle between equivalent
+        # sets — measured 60 full iterations from realistic starts
+        # (round-2 PROFILE: 25-30 ms of the ~157 ms pair budget).
+        src_new = jnp.matmul(src, T_new[:3, :3].T,
+                             precision=jax.lax.Precision.HIGHEST) + T_new[:3, 3]
+        src_old = jnp.matmul(src, T[:3, :3].T,
+                             precision=jax.lax.Precision.HIGHEST) + T[:3, 3]
+        m = src_mask.astype(jnp.float32)
+        n_m = jnp.maximum(jnp.sum(m), 1.0)
+        disp2 = jnp.sum(jnp.sum((src_new - src_old) ** 2, axis=-1) * m) / n_m
+        converged = converged | (disp2 <= jnp.float32(1e-4) ** 2)
         return T_new, rmse, fit, it + 1, converged
 
     def cond(state):

@@ -68,6 +68,18 @@ class RegistrationConfig:
     # max_cell_count). bench.py measures the actual cell occupancy and
     # escalates 8 -> 32 when the exactness condition would be violated.
     icp_budget: int = 8
+    # full-resolution polish (reference refine_registration,
+    # evaluate.py:63-110, runs ICP on the COMPLETE raw clouds): after the
+    # correlator-cloud ICP converges the transform, a short stage on the
+    # raw clouds densifies correspondences near the SP threshold. 0 = off
+    # (used when no raw clouds are plumbed). Raw clouds are denser per
+    # cell, hence the separate budget.
+    icp_raw_iter: int = 12
+    icp_raw_budget: int = 24
+    # dense-grid box (cells) for the ICP correspondence index; the default
+    # covers 77 m at 0.2 m cells — reference-regime scenes (100 m+ span)
+    # need a larger box.
+    icp_dims: Tuple[int, int, int] = (384, 384, 96)
 
 
 class RegistrationResult(NamedTuple):
@@ -150,10 +162,18 @@ def _hypotheses_and_select(
     if cfg.filter_by_ume_dist:
         keep = probabilistic_match_filter(k_filt, d, cfg.ume_n_samples, cfg.tau)
     else:
+        # mask-explicit: on clouds smaller than ume_n_samples the surplus
+        # keypoint slots carry m = -1; route them to the best valid match
+        # (repeat-best, as the Hungarian path does) so invalid keypoints
+        # provably never reach estimate_rigid_from_ume.
+        valid = src_kp_ok & (m >= 0)
+        best = jnp.argmin(jnp.where(valid, d, jnp.float32(jnp.inf))).astype(
+            jnp.int32)
         keep = jnp.arange(cfg.ume_n_samples, dtype=jnp.int32)
+        keep = jnp.where(valid[keep], keep, best)
 
     G = ume_src[keep]  # matched source UMEs
-    H = ume_tgt[m[keep]]  # matched target UMEs
+    H = ume_tgt[jnp.maximum(m[keep], 0)]  # matched target UMEs
     # reference call order: G=src, H=tgt -> T maps src into tgt
     Ts, _ = estimate_rigid_from_ume(G, H, compute_distance=False)
 
@@ -193,17 +213,21 @@ def register_pair_features(
         corr_src_pts, corr_src_feat, corr_src_mask,
         corr_tgt_pts, corr_tgt_feat, corr_tgt_mask)
 
-    if raw_src_pts is None:
-        raw_src_pts, raw_src_mask = corr_src_pts, corr_src_mask
-    if raw_tgt_pts is None:
-        raw_tgt_pts, raw_tgt_mask = corr_tgt_pts, corr_tgt_mask
-
     if run_icp:
         T_ref, rmse, fit = icp_point_to_point(
-            raw_src_pts, raw_tgt_pts, best_T,
+            corr_src_pts, corr_tgt_pts, best_T,
             max_corr=cfg.icp_max_corr, max_iter=cfg.icp_max_iter,
-            src_mask=raw_src_mask, tgt_mask=raw_tgt_mask,
-            budget=cfg.icp_budget)
+            src_mask=corr_src_mask, tgt_mask=corr_tgt_mask,
+            budget=cfg.icp_budget, dims=cfg.icp_dims)
+        if raw_src_pts is not None and cfg.icp_raw_iter > 0:
+            # full-resolution polish (reference evaluate.py:63-110 refines
+            # on the complete raw clouds): the transform is already
+            # converged, so a few dense iterations close the sampling gap
+            T_ref, rmse, fit = icp_point_to_point(
+                raw_src_pts, raw_tgt_pts, T_ref,
+                max_corr=cfg.icp_max_corr, max_iter=cfg.icp_raw_iter,
+                src_mask=raw_src_mask, tgt_mask=raw_tgt_mask,
+                budget=cfg.icp_raw_budget, dims=cfg.icp_dims)
     else:
         T_ref, rmse, fit = best_T, jnp.float32(0.0), jnp.float32(0.0)
     return RegistrationResult(
@@ -323,16 +347,18 @@ def register_pair_hungarian(
         corr_src_pts, corr_src_feat, corr_src_mask,
         corr_tgt_pts, corr_tgt_feat, corr_tgt_mask)
 
-    if raw_src_pts is None:
-        raw_src_pts, raw_src_mask = corr_src_pts, corr_src_mask
-    if raw_tgt_pts is None:
-        raw_tgt_pts, raw_tgt_mask = corr_tgt_pts, corr_tgt_mask
     if run_icp:
         T_ref, rmse, fit = icp_point_to_point(
-            raw_src_pts, raw_tgt_pts, best_T,
+            corr_src_pts, corr_tgt_pts, best_T,
             max_corr=cfg.icp_max_corr, max_iter=cfg.icp_max_iter,
-            src_mask=raw_src_mask, tgt_mask=raw_tgt_mask,
-            budget=cfg.icp_budget)
+            src_mask=corr_src_mask, tgt_mask=corr_tgt_mask,
+            budget=cfg.icp_budget, dims=cfg.icp_dims)
+        if raw_src_pts is not None and cfg.icp_raw_iter > 0:
+            T_ref, rmse, fit = icp_point_to_point(
+                raw_src_pts, raw_tgt_pts, T_ref,
+                max_corr=cfg.icp_max_corr, max_iter=cfg.icp_raw_iter,
+                src_mask=raw_src_mask, tgt_mask=raw_tgt_mask,
+                budget=cfg.icp_raw_budget, dims=cfg.icp_dims)
     else:
         T_ref, rmse, fit = best_T, jnp.float32(0.0), jnp.float32(0.0)
     return RegistrationResult(
