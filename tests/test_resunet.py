@@ -50,6 +50,19 @@ class TestForward:
         np.testing.assert_allclose(np.linalg.norm(out[m], axis=-1), 1.0, atol=1e-4)
         np.testing.assert_allclose(out[~m], 0.0)
 
+    def test_grouped_conv_matches_scan(self, small2_setup):
+        """The grouped-window conv path (default) must match the per-tap
+        scan formulation through the whole UNet (ops/sparse.GroupedMap is
+        a pure re-association of the same gathers)."""
+        arch, coords, mask, n, geom, params, state = small2_setup
+        feats = jnp.ones((512, 1)) * mask[:, None]
+        o_g, _ = resunet_apply(params, state, geom, feats, arch,
+                               conv_impl="grouped")
+        o_s, _ = resunet_apply(params, state, geom, feats, arch,
+                               conv_impl="scan")
+        np.testing.assert_allclose(np.asarray(o_g), np.asarray(o_s),
+                                   atol=1e-5)
+
     def test_train_updates_bn_state(self, small2_setup):
         arch, coords, mask, n, geom, params, state = small2_setup
         feats = jnp.ones((512, 1)) * mask[:, None]

@@ -205,11 +205,24 @@ def build_unet_geometry(
     if arch.kernel_sizes[0] == 3:
         block_maps[0] = enc_maps[0]
 
+    # grouped-window form (ops/sparse.GroupedMap): one wide gather per
+    # (dx, dy) group instead of k narrow per-tap gathers — the backbone's
+    # default conv path (gathers are the measured v5e bottleneck)
+    from umeregrobust_tpu.ops.sparse import group_kernel_map
+    enc_g = [group_kernel_map(enc_maps[i], arch.kernel_sizes[i])
+             for i in range(L)]
+    block_g = [group_kernel_map(block_maps[i], 3) for i in range(L)]
+    dec_g = [group_kernel_map(dec_maps[d], arch.kernel_sizes[L - 1 - d])
+             for d in range(L - 1)]
+
     return {
         "levels": levels,
         "enc_maps": enc_maps,
         "block_maps": block_maps,
         "dec_maps": dec_maps,
+        "enc_g": enc_g,
+        "block_g": block_g,
+        "dec_g": dec_g,
         "order0": order0,  # sorted position -> caller row
         "inv0": inv0,  # caller row -> sorted position
     }
@@ -299,16 +312,26 @@ def _apply_norm(p, s, feats, mask, train, momentum=0.1):
     return out, {"mean": nm, "var": nv}
 
 
+def _conv(feats, w, nbr, compute_dtype):
+    """Dispatch on map form: GroupedMap -> grouped-window conv (default
+    hot path), plain (K, N) array -> per-tap scan."""
+    from umeregrobust_tpu.ops.sparse import GroupedMap, sparse_conv_grouped
+
+    if isinstance(nbr, GroupedMap):
+        return sparse_conv_grouped(feats, w, nbr, compute_dtype=compute_dtype)
+    return sparse_conv(feats, w, nbr, compute_dtype=compute_dtype)
+
+
 def _apply_block(p, s, feats, mask, nbr, block, train, compute_dtype):
     """Residual block. 'BN2': conv-BN-add-relu (reference models.py:70-96);
     'BN': conv-BN-relu-conv-BN-add-relu (models.py:22-66)."""
     residual = feats
-    out = sparse_conv(feats, p["conv1"]["w"], nbr, compute_dtype=compute_dtype)
+    out = _conv(feats, p["conv1"]["w"], nbr, compute_dtype)
     out, ns1 = _apply_norm(p["norm1"], s["norm1"], out, mask, train)
     new_s = {"norm1": ns1}
     if block == "BN":
         out = jax.nn.relu(out)
-        out = sparse_conv(out, p["conv2"]["w"], nbr, compute_dtype=compute_dtype)
+        out = _conv(out, p["conv2"]["w"], nbr, compute_dtype)
         out, ns2 = _apply_norm(p["norm2"], s["norm2"], out, mask, train)
         new_s["norm2"] = ns2
     out = jax.nn.relu(out + residual) * mask[:, None]
@@ -316,7 +339,8 @@ def _apply_block(p, s, feats, mask, nbr, block, train, compute_dtype):
 
 
 @partial(jax.jit,
-         static_argnames=("arch", "train", "normalize_feature", "compute_dtype"))
+         static_argnames=("arch", "train", "normalize_feature",
+                          "compute_dtype", "conv_impl"))
 def resunet_apply(
     params: Dict[str, Any],
     state: Dict[str, Any],
@@ -326,14 +350,24 @@ def resunet_apply(
     train: bool = False,
     normalize_feature: bool = True,
     compute_dtype: jnp.dtype = jnp.float32,
+    conv_impl: str = "grouped",
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """Run the UNet. in_feats: (N0, Cin) with invalid rows zero.
+
+    conv_impl: 'grouped' (default; one wide gather per (dx, dy) offset
+    group — see ops/sparse.GroupedMap) or 'scan' (per-tap gathers; the
+    bitwise-equivalent reference formulation kept for cross-checks).
 
     Returns ((N0, out_ch) fp32 features at level 0, new bn_state).
     """
     L = len(arch.channels)
     levels = geom["levels"]
     new_state: Dict[str, Any] = {}
+    if conv_impl == "grouped":
+        enc_m, block_m, dec_m = geom["enc_g"], geom["block_g"], geom["dec_g"]
+    else:
+        enc_m, block_m, dec_m = (geom["enc_maps"], geom["block_maps"],
+                                 geom["dec_maps"])
 
     skips = []
     # into canonical sorted space (level 0 is code-sorted; see
@@ -341,12 +375,11 @@ def resunet_apply(
     out = in_feats[geom["order0"]]
     for i in range(L):
         mask = levels[i].mask
-        out = sparse_conv(out, params[f"conv{i+1}"]["w"], geom["enc_maps"][i],
-                          compute_dtype=compute_dtype)
+        out = _conv(out, params[f"conv{i+1}"]["w"], enc_m[i], compute_dtype)
         out, ns = _apply_norm(params[f"norm{i+1}"], state[f"norm{i+1}"], out, mask, train)
         new_state[f"norm{i+1}"] = ns
         out, nbs = _apply_block(params[f"block{i+1}"], state[f"block{i+1}"], out, mask,
-                                geom["block_maps"][i], arch.block, train, compute_dtype)
+                                block_m[i], arch.block, train, compute_dtype)
         new_state[f"block{i+1}"] = nbs
         skips.append(out)  # post-block skip (block already ends in relu),
         # exactly like the reference forward (models.py:557-560)
@@ -355,13 +388,13 @@ def resunet_apply(
     for d in range(L - 1):
         lvl = L - 2 - d
         mask = levels[lvl].mask
-        out = sparse_conv(out, params[f"conv{lvl+1}_tr"]["w"], geom["dec_maps"][d],
-                          compute_dtype=compute_dtype)
+        out = _conv(out, params[f"conv{lvl+1}_tr"]["w"], dec_m[d],
+                    compute_dtype)
         out, ns = _apply_norm(params[f"norm{lvl+1}_tr"], state[f"norm{lvl+1}_tr"],
                               out, mask, train)
         new_state[f"norm{lvl+1}_tr"] = ns
         out, nbs = _apply_block(params[f"block{lvl+1}_tr"], state[f"block{lvl+1}_tr"],
-                                out, mask, geom["block_maps"][lvl], arch.block, train,
+                                out, mask, block_m[lvl], arch.block, train,
                                 compute_dtype)
         new_state[f"block{lvl+1}_tr"] = nbs
         out = jax.nn.relu(out)

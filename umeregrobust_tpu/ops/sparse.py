@@ -48,6 +48,7 @@ from umeregrobust_tpu.ops.sortmaps import (
 
 __all__ = [
     "Level",
+    "GroupedMap",
     "kernel_offsets",
     "build_self_map",
     "build_level_maps",
@@ -55,7 +56,9 @@ __all__ = [
     "sort_level",
     "build_conv_map",
     "build_transpose_map",
+    "group_kernel_map",
     "sparse_conv",
+    "sparse_conv_grouped",
     "masked_batch_norm",
 ]
 
@@ -321,6 +324,100 @@ def sparse_conv(
 
     acc0 = jnp.zeros((nbr_map.shape[1], weights.shape[2]), jnp.float32)
     out, _ = jax.lax.scan(step, acc0, (w, nbr_map))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out
+
+
+class GroupedMap(NamedTuple):
+    """Window form of a kernel map: one gather per (dx, dy) offset group.
+
+    Levels are code-sorted with z fastest (ops/sortmaps.pack_code), so the
+    <= k valid z-candidates of any (dx, dy) group occupy CONSECUTIVE rows
+    of the input level: a z-column is a contiguous run, and no lattice
+    point of the level's stride can fall between successive candidates.
+    Hence the whole group is served by ONE k-row window gather (from a
+    shift-concatenated (N, k*C) table) plus per-tap slot selects — k^2
+    wide gathers instead of k^3 narrow ones. Gathers are the measured
+    bottleneck of the backbone on v5e (~3 cycles/row regardless of width,
+    tools/exp_gather2.py), so this is a ~k x reduction of the dominant
+    cost. Validated bitwise-equal to the per-tap scan.
+
+    start: (G, N_out) int32 — input row of the window's first candidate,
+           -1 when the group has no valid tap (G = k^2 groups in
+           lexicographic (dx, dy) order, taps z-fastest within a group).
+    slot:  (G, k, N_out) int32 in [0, k] — window slot of tap t, or k
+           (the zero slot) when the tap has no neighbor.
+    """
+
+    start: jnp.ndarray
+    slot: jnp.ndarray
+
+
+def group_kernel_map(nbr: jnp.ndarray, kernel_size: int) -> GroupedMap:
+    """Convert a (K_vol, N_out) tap map into its grouped-window form.
+
+    Precondition: the map was built against a code-sorted level (all maps
+    from build_level_maps / build_unet_geometry are), so every valid tap
+    row of a group lies within [start, start + k - 1].
+    """
+    k = kernel_size
+    K, n = nbr.shape
+    assert K == k ** 3, (K, k)
+    g = nbr.reshape(k * k, k, n)
+    valid = g >= 0
+    big = jnp.where(valid, g, jnp.int32(2 ** 30))
+    s = jnp.min(big, axis=1)  # (G, N_out)
+    s = jnp.where(s < 2 ** 30, s, jnp.int32(-1))
+    slot = jnp.where(valid, g - s[:, None, :], jnp.int32(k))
+    return GroupedMap(start=s, slot=slot.astype(jnp.int32))
+
+
+def sparse_conv_grouped(
+    feats: jnp.ndarray,
+    weights: jnp.ndarray,
+    gmap: GroupedMap,
+    bias: Optional[jnp.ndarray] = None,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """sparse_conv with grouped-window gathers (see GroupedMap).
+
+    feats:   (N_in, Cin), invalid rows zero (package invariant).
+    weights: (K_vol, Cin, Cout) in the SAME lexicographic tap order as
+             sparse_conv — the grouping is internal, checkpoints unchanged.
+    Returns (N_out, Cout) fp32.
+    """
+    K, Cin, Cout = weights.shape
+    G, k, N_out = gmap.slot.shape
+    N_in = feats.shape[0]
+    f = feats.astype(compute_dtype)
+    zrow = jnp.zeros((1, Cin), compute_dtype)
+    # Fk[r] = rows r .. r+k-1 concatenated, plus a zero slot column and a
+    # trailing zero row (start == -1 and slot == k both land on zeros)
+    shifts = [f] + [
+        jnp.concatenate([f[r:], jnp.tile(zrow, (r, 1))], axis=0)
+        for r in range(1, k)
+    ]
+    Fk = jnp.concatenate(shifts + [jnp.zeros((N_in, Cin), compute_dtype)],
+                         axis=1)  # (N_in, (k+1)*Cin)
+    Fkp = jnp.concatenate(
+        [Fk, jnp.zeros((1, (k + 1) * Cin), compute_dtype)], axis=0)
+    w = weights.astype(compute_dtype).reshape(G, k, Cin, Cout)
+
+    def group(acc, xs):
+        w_g, s_g, slot_g = xs
+        win = Fkp[jnp.where(s_g >= 0, s_g, N_in)]  # monotone wide gather
+        win = win.reshape(N_out, k + 1, Cin)
+        out = acc
+        for t in range(k):
+            sel = jnp.take_along_axis(
+                win, slot_g[t][:, None, None], axis=1)[:, 0]
+            out = out + jnp.matmul(sel, w_g[t],
+                                   preferred_element_type=jnp.float32)
+        return out, None
+
+    acc0 = jnp.zeros((N_out, Cout), jnp.float32)
+    out, _ = jax.lax.scan(group, acc0, (w, gmap.start, gmap.slot))
     if bias is not None:
         out = out + bias.astype(jnp.float32)[None, :]
     return out
