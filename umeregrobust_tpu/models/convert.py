@@ -31,7 +31,8 @@ from typing import Any, Dict, Mapping, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["convert_state_dict", "load_torch_checkpoint", "offset_permutation"]
+__all__ = ["convert_state_dict", "load_torch_checkpoint",
+           "offset_permutation", "decide_me_order"]
 
 
 def offset_permutation(kernel_size: int, me_order: str = "x_fastest") -> np.ndarray:
@@ -95,6 +96,47 @@ def convert_state_dict(
         else:
             raise KeyError(f"unhandled checkpoint key: {key}")
     return params, state
+
+
+def decide_me_order(sd: Mapping[str, Any]) -> Tuple[str, float]:
+    """Decide the ME kernel-offset order of a trained checkpoint.
+
+    The two hypotheses ('x_fastest' vs 'z_fastest') differ by an x<->z
+    transpose of every (k, k, k, Cin, Cout) kernel volume; the middle (y)
+    axis is fixed. Any axis-symmetric statistic is therefore blind — the
+    discriminator is the DATA's anisotropy: LiDAR scenes are ground-plane
+    dominated, so trained kernels treat the two horizontal axes (x, y)
+    statistically alike and the vertical (z) axis differently. Under the
+    TRUE layout the first axis's total variation matches y's; under the
+    transposed layout, z's takes its place and the mismatch grows.
+
+    Returns (order, margin): margin > 0 means the statistic favored the
+    returned order (relative gap between the two hypotheses' scores);
+    margins < ~0.1 should be treated as undecided — fall back to an
+    end-to-end recall A/B (tools/validate_converter.py runs both).
+    """
+    scores = {}
+    for order in ("x_fastest", "z_fastest"):
+        mismatch = total = 0.0
+        for key, val in sd.items():
+            if not key.endswith("kernel"):
+                continue
+            arr = _to_np(val)
+            if arr.ndim != 3:
+                continue
+            k = round(arr.shape[0] ** (1.0 / 3.0))
+            if k ** 3 != arr.shape[0] or k < 3:
+                continue
+            perm = offset_permutation(k, order)
+            vol = arr[perm].reshape(k, k, k, *arr.shape[1:])  # (x, y, z, ...)
+            tv = [float(np.abs(np.diff(vol, axis=a)).mean()) for a in range(3)]
+            mismatch += abs(tv[0] - tv[1])  # x-vs-y anisotropy
+            total += (tv[0] + tv[1]) / 2.0
+        scores[order] = mismatch / max(total, 1e-12)
+    best = min(scores, key=scores.get)
+    other = "z_fastest" if best == "x_fastest" else "x_fastest"
+    margin = (scores[other] - scores[best]) / max(scores[other], 1e-12)
+    return best, float(margin)
 
 
 def load_torch_checkpoint(
