@@ -207,12 +207,16 @@ def build_unet_geometry(
 
     # grouped-window form (ops/sparse.GroupedMap): one wide gather per
     # (dx, dy) group instead of k narrow per-tap gathers — the backbone's
-    # default conv path (gathers are the measured v5e bottleneck)
+    # default conv path (gathers are the measured v5e bottleneck). k=3
+    # maps only; k=5/7 variant layers keep the per-tap scan (plain array
+    # passthrough, dispatched by _conv).
     from umeregrobust_tpu.ops.sparse import group_kernel_map
-    enc_g = [group_kernel_map(enc_maps[i], arch.kernel_sizes[i])
+    enc_g = [group_kernel_map(enc_maps[i], 3)
+             if arch.kernel_sizes[i] == 3 else enc_maps[i]
              for i in range(L)]
     block_g = [group_kernel_map(block_maps[i], 3) for i in range(L)]
-    dec_g = [group_kernel_map(dec_maps[d], arch.kernel_sizes[L - 1 - d])
+    dec_g = [group_kernel_map(dec_maps[d], 3, z_reversed=True)
+             if arch.kernel_sizes[L - 1 - d] == 3 else dec_maps[d]
              for d in range(L - 1)]
 
     return {

@@ -330,47 +330,75 @@ def sparse_conv(
 
 
 class GroupedMap(NamedTuple):
-    """Window form of a kernel map: one gather per (dx, dy) offset group.
+    """Canonical-anchor window form of a k=3 kernel map: one wide gather
+    per (dx, dy) offset group instead of k narrow per-tap gathers.
 
     Levels are code-sorted with z fastest (ops/sortmaps.pack_code), so the
-    <= k valid z-candidates of any (dx, dy) group occupy CONSECUTIVE rows
+    <= 3 valid z-candidates of any (dx, dy) group occupy CONSECUTIVE rows
     of the input level: a z-column is a contiguous run, and no lattice
-    point of the level's stride can fall between successive candidates.
-    Hence the whole group is served by ONE k-row window gather (from a
-    shift-concatenated (N, k*C) table) plus per-tap slot selects — k^2
-    wide gathers instead of k^3 narrow ones. Gathers are the measured
-    bottleneck of the backbone on v5e (~3 cycles/row regardless of width,
-    tools/exp_gather2.py), so this is a ~k x reduction of the dominant
-    cost. Validated bitwise-equal to the per-tap scan.
+    point of the level's stride can fall between successive candidates
+    (at every level and strided interface). The window is CENTERED so that
+    slot p holds tap p by construction:
 
-    start: (G, N_out) int32 — input row of the window's first candidate,
-           -1 when the group has no valid tap (G = k^2 groups in
-           lexicographic (dx, dy) order, taps z-fastest within a group).
-    slot:  (G, k, N_out) int32 in [0, k] — window slot of tap t, or k
-           (the zero slot) when the tap has no neighbor.
+        center c = j0          if the dz=0 candidate exists     (case A)
+                 = j_{-1} + 1  elif dz=-1 exists                (case B)
+                 = j_{+1} - 1  elif dz=+1 exists                (case C)
+                 = zero row    else
+        slot masks: m0 = v_{-1}; m1 = v_0; m2 = v_{+1} & (v_0 | ~v_{-1})
+        pathological rows (case B with v_{+1}: the dz=+1 candidate sits
+        at slot 1) get a masked correction matmul against W_{dz=+1}.
+
+    The conv is then gather -> elementwise mask -> matmul — the exact
+    chain XLA fuses into a single loop (the slot-SELECT formulation
+    breaks that fusion and measured 3.6x SLOWER than the per-tap scan;
+    tools/exp_grouped_conv.py vs exp_grouped_conv2.py). Gathers are the
+    measured backbone bottleneck on v5e (~3 cycles/row regardless of
+    width, tools/exp_gather2.py), and this form issues 3x fewer of them.
+
+    center: (9, N_out) int32 — row + 1 into the centered window table
+            (see sparse_conv_grouped; the trailing row is all-zero).
+    masks:  (9, 3, N_out) bool — slot validity.
+    patho:  (9, N_out) bool — case-B-with-v_{+1} correction rows.
+    worder: (3,) int32 — tap index occupying each ascending-row slot:
+            [0, 1, 2] for convs (dz ascends with input row) and [2, 1, 0]
+            for TRANSPOSED convs, whose tap dz = -1 gathers the coarse
+            voxel at z + t (rows DESCEND with dz — the round-3 bug found
+            by tests/test_resunet.py on dec_maps at stride 2).
     """
 
-    start: jnp.ndarray
-    slot: jnp.ndarray
+    center: jnp.ndarray
+    masks: jnp.ndarray
+    patho: jnp.ndarray
+    worder: jnp.ndarray
 
 
-def group_kernel_map(nbr: jnp.ndarray, kernel_size: int) -> GroupedMap:
-    """Convert a (K_vol, N_out) tap map into its grouped-window form.
+def group_kernel_map(
+    nbr: jnp.ndarray, kernel_size: int, z_reversed: bool = False
+) -> GroupedMap:
+    """Convert a k=3 (27, N_out) tap map into its canonical-anchor form.
 
     Precondition: the map was built against a code-sorted level (all maps
-    from build_level_maps / build_unet_geometry are), so every valid tap
-    row of a group lies within [start, start + k - 1].
+    from build_level_maps / build_unet_geometry are), so the valid tap
+    rows of a group are consecutive. Only kernel_size == 3 is supported —
+    larger kernels (non-flagship archs) keep the per-tap scan.
+
+    z_reversed: True for transposed-conv maps (build_transpose_map /
+    decoder maps), where tap rows descend with dz.
     """
-    k = kernel_size
+    assert kernel_size == 3, "grouped maps are k=3 only (flagship archs)"
     K, n = nbr.shape
-    assert K == k ** 3, (K, k)
-    g = nbr.reshape(k * k, k, n)
-    valid = g >= 0
-    big = jnp.where(valid, g, jnp.int32(2 ** 30))
-    s = jnp.min(big, axis=1)  # (G, N_out)
-    s = jnp.where(s < 2 ** 30, s, jnp.int32(-1))
-    slot = jnp.where(valid, g - s[:, None, :], jnp.int32(k))
-    return GroupedMap(start=s, slot=slot.astype(jnp.int32))
+    assert K == 27, K
+    g = nbr.reshape(9, 3, n)
+    if z_reversed:
+        g = g[:, ::-1]  # ascending-row view; worder records the tap map
+    v0, v1, v2 = g[:, 0] >= 0, g[:, 1] >= 0, g[:, 2] >= 0
+    c = jnp.where(v1, g[:, 1],
+                  jnp.where(v0, g[:, 0] + 1,
+                            jnp.where(v2, g[:, 2] - 1, jnp.int32(n + 1))))
+    masks = jnp.stack([v0, v1, v2 & (v1 | ~v0)], axis=1)
+    patho = v0 & ~v1 & v2
+    worder = jnp.asarray([2, 1, 0] if z_reversed else [0, 1, 2], jnp.int32)
+    return GroupedMap(center=c + 1, masks=masks, patho=patho, worder=worder)
 
 
 def sparse_conv_grouped(
@@ -380,44 +408,45 @@ def sparse_conv_grouped(
     bias: Optional[jnp.ndarray] = None,
     compute_dtype: jnp.dtype = jnp.float32,
 ) -> jnp.ndarray:
-    """sparse_conv with grouped-window gathers (see GroupedMap).
+    """sparse_conv with canonical-anchor grouped gathers (see GroupedMap).
 
     feats:   (N_in, Cin), invalid rows zero (package invariant).
-    weights: (K_vol, Cin, Cout) in the SAME lexicographic tap order as
+    weights: (27, Cin, Cout) in the SAME lexicographic tap order as
              sparse_conv — the grouping is internal, checkpoints unchanged.
     Returns (N_out, Cout) fp32.
     """
     K, Cin, Cout = weights.shape
-    G, k, N_out = gmap.slot.shape
-    N_in = feats.shape[0]
+    G, _, N_out = gmap.masks.shape
     f = feats.astype(compute_dtype)
-    zrow = jnp.zeros((1, Cin), compute_dtype)
-    # Fk[r] = rows r .. r+k-1 concatenated, plus a zero slot column and a
-    # trailing zero row (start == -1 and slot == k both land on zeros)
-    shifts = [f] + [
-        jnp.concatenate([f[r:], jnp.tile(zrow, (r, 1))], axis=0)
-        for r in range(1, k)
-    ]
-    Fk = jnp.concatenate(shifts + [jnp.zeros((N_in, Cin), compute_dtype)],
-                         axis=1)  # (N_in, (k+1)*Cin)
-    Fkp = jnp.concatenate(
-        [Fk, jnp.zeros((1, (k + 1) * Cin), compute_dtype)], axis=0)
-    w = weights.astype(compute_dtype).reshape(G, k, Cin, Cout)
+    # centered window table: row r' = [f[r'-2], f[r'-1], f[r']] with f
+    # zero-extended on both sides; the last row (N_in + 2) is all-zero
+    # (the no-candidate sentinel).
+    z = jnp.zeros((1, Cin), compute_dtype)
+    a = jnp.concatenate([z, z, f, z], axis=0)
+    b = jnp.concatenate([z, f, z, z], axis=0)
+    cc = jnp.concatenate([f, z, z, z], axis=0)
+    F3c = jnp.concatenate([a, b, cc], axis=1)  # (N_in + 3, 3 * Cin)
+    # slot-ordered weights: slot p (ascending input row) applies tap
+    # worder[p] (identity for convs, z-flip for transposed convs)
+    w3 = weights.astype(compute_dtype).reshape(G, 3, Cin, Cout)[
+        :, gmap.worder]
+    wg = w3.reshape(G, 3 * Cin, Cout)
+    wp1 = w3[:, 2]  # slot-2 tap's weights (the case-B patho correction)
 
     def group(acc, xs):
-        w_g, s_g, slot_g = xs
-        win = Fkp[jnp.where(s_g >= 0, s_g, N_in)]  # monotone wide gather
-        win = win.reshape(N_out, k + 1, Cin)
-        out = acc
-        for t in range(k):
-            sel = jnp.take_along_axis(
-                win, slot_g[t][:, None, None], axis=1)[:, 0]
-            out = out + jnp.matmul(sel, w_g[t],
-                                   preferred_element_type=jnp.float32)
+        w_g, wp1_g, c_g, m_g, p_g = xs
+        wide = F3c[c_g]  # (N_out, 3*Cin) monotone wide gather
+        maskv = jnp.repeat(m_g.T.astype(compute_dtype), Cin, axis=1)
+        out = acc + jnp.matmul(wide * maskv, w_g,
+                               preferred_element_type=jnp.float32)
+        corr_in = wide[:, Cin:2 * Cin] * p_g[:, None].astype(compute_dtype)
+        out = out + jnp.matmul(corr_in, wp1_g,
+                               preferred_element_type=jnp.float32)
         return out, None
 
     acc0 = jnp.zeros((N_out, Cout), jnp.float32)
-    out, _ = jax.lax.scan(group, acc0, (w, gmap.start, gmap.slot))
+    out, _ = jax.lax.scan(group, acc0,
+                          (wg, wp1, gmap.center, gmap.masks, gmap.patho))
     if bias is not None:
         out = out + bias.astype(jnp.float32)[None, :]
     return out
