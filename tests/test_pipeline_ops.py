@@ -131,6 +131,50 @@ class TestUmeyamaICP:
         assert rte < 0.1, rte
 
 
+class TestRefineSchedule:
+    def test_multires_matches_single_stage(self, rng):
+        """The multi-resolution ICP schedule (coarse subsampled stage +
+        exact full-res stage, registration.refine_with_icp) must land on
+        the same transform as single-stage full-resolution ICP."""
+        from dataclasses import replace
+
+        from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair
+        from umeregrobust_tpu.pipeline.registration import (
+            RegistrationConfig, refine_with_icp)
+
+        pair = make_pair(SceneConfig(extent=15.0, ground_points=4000,
+                                     structure_points=8000, n_boxes=12,
+                                     n_walls=4, n_poles=6,
+                                     observe_mode="lidar", baseline=3.0),
+                         max_rotation_deg=30, max_translation=3.0, seed=5)
+        gt = pair["gt_tform"]
+        # randomized fill order (the multires stage slices a prefix)
+        perm = rng.permutation(len(pair["src_pts"]))[:3000]
+        src = jnp.asarray(pair["src_pts"][perm])
+        tgt = jnp.asarray(pair["tgt_pts"][: 3000])
+        m = jnp.ones((3000,), bool)
+        ang = np.radians(2.0)
+        dR = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        init = gt.copy()
+        init[:3, :3] = dR @ gt[:3, :3]
+        init[:3, 3] += np.array([0.2, -0.1, 0.05], np.float32)
+
+        base = RegistrationConfig(icp_max_corr=0.4, icp_max_iter=60,
+                                  icp_budget=32, icp_raw_iter=0)
+        cfg_multi = replace(base, icp_multires=512, icp_multires_iter=40,
+                            icp_multires_budget=8)
+        cfg_single = replace(base, icp_multires=0)
+        T_m, _, _ = refine_with_icp(cfg_multi, jnp.asarray(init),
+                                    src, m, tgt, m)
+        T_s, _, _ = refine_with_icp(cfg_single, jnp.asarray(init),
+                                    src, m, tgt, m)
+        np.testing.assert_allclose(np.asarray(T_m), np.asarray(T_s),
+                                   atol=5e-3)
+        rte = float(np.linalg.norm(np.asarray(T_m)[:3, 3] - gt[:3, 3]))
+        assert rte < 0.1, rte
+
+
 class TestCorrelator:
     def test_selects_gt_hypothesis(self, rng, key):
         """Among random wrong hypotheses plus the true transform, the

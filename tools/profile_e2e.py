@@ -58,7 +58,8 @@ def main():
     # --- bench-identical input prep ---------------------------------------
     seed = 100
     pair = make_pair(SceneConfig(extent=25.0, ground_points=12000,
-                                 structure_points=24000, seed=seed),
+                                 structure_points=24000, seed=seed,
+                                 observe_mode="lidar", baseline=8.0),
                      max_rotation_deg=120, max_translation=8.0, seed=seed)
     data = {}
     for tag, pts, seg in [("src", pair["src_pts"], pair["src_seg"]),
@@ -139,7 +140,15 @@ def main():
         out, _ = resunet_apply(params, state, geom, fin, arch, train=False,
                                compute_dtype=jnp.bfloat16)
         return jnp.sum(out)
-    timeit("forward alone (prebuilt geom)", f_fwd_only, params, state, geom,
+    timeit("forward alone (grouped conv)", f_fwd_only, params, state, geom,
+           mask2)
+
+    def f_fwd_scan(params, state, geom, mask2):
+        fin = jnp.ones((2 * SEM_CAP, 1), jnp.float32) * mask2[:, None]
+        out, _ = resunet_apply(params, state, geom, fin, arch, train=False,
+                               compute_dtype=jnp.bfloat16, conv_impl="scan")
+        return jnp.sum(out)
+    timeit("forward alone (per-tap scan)", f_fwd_scan, params, state, geom,
            mask2)
 
     fin = jnp.ones((2 * SEM_CAP, 1), jnp.float32) * mask2[:, None]

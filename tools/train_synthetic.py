@@ -48,21 +48,28 @@ def main():
         ume_r_nn=5.0,
         level_capacity_ratios=(1.0, 0.8, 0.45, 0.25, 0.1),
     )
-    # scene + regime diversity (round-1 VERDICT #8): sparse/dense clutter,
-    # heavier dropout, full-rotation and sector-cropped low-overlap pairs,
-    # mirroring the bench regime suite without reusing its seeds
+    # scene + regime diversity (round-1 VERDICT #8), refreshed for the
+    # round-3 hardened benchmark: viewpoint-dependent "lidar" observation
+    # (z-buffer occlusion, per-scan clutter, sensor baseline) so the
+    # features train on the statistics the benchmark now has — without
+    # reusing its seeds. One legacy-iid scene stays in the mix.
     scenes = [
         SceneConfig(extent=22.0, ground_points=10000, structure_points=20000,
-                    n_boxes=20, n_walls=7, n_poles=12, dropout=0.3),
+                    n_boxes=20, n_walls=7, n_poles=12,
+                    observe_mode="lidar", baseline=6.0),
+        SceneConfig(extent=30.0, ground_points=12000, structure_points=16000,
+                    n_boxes=10, n_walls=4, n_poles=6,
+                    observe_mode="lidar", baseline=15.0),
+        SceneConfig(extent=18.0, ground_points=8000, structure_points=24000,
+                    n_boxes=32, n_walls=10, n_poles=18,
+                    observe_mode="lidar", baseline=10.0),
         SceneConfig(extent=30.0, ground_points=12000, structure_points=16000,
                     n_boxes=10, n_walls=4, n_poles=6, dropout=0.45),
-        SceneConfig(extent=18.0, ground_points=8000, structure_points=24000,
-                    n_boxes=32, n_walls=10, n_poles=18, dropout=0.25),
     ]
     regimes = [
         dict(max_rotation_deg=120, max_translation=8.0),
         dict(max_rotation_deg=180, max_translation=6.0),
-        dict(max_rotation_deg=120, max_translation=12.0, sector_deg=260.0),
+        dict(max_rotation_deg=120, max_translation=12.0, sector_deg=300.0),
     ]
     print("building batches...", flush=True)
     batches = []

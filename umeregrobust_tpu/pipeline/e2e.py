@@ -15,12 +15,11 @@ import jax
 import jax.numpy as jnp
 
 from umeregrobust_tpu.models.resunet import ArchSpec, build_unet_geometry, resunet_apply
-from umeregrobust_tpu.ops.densegrid import build_dense_grid
-from umeregrobust_tpu.pipeline.icp import _icp_loop
 from umeregrobust_tpu.pipeline.registration import (
     RegistrationConfig,
     _hypotheses_and_select,
     copy_features_to_raw,
+    refine_with_icp,
 )
 
 __all__ = ["register_pair_e2e", "pair_features_e2e"]
@@ -77,26 +76,10 @@ def register_pair_e2e(
         src_grid, feats["src"], src_mask, tgt_grid, feats["tgt"], tgt_mask,
         corr_src_pts, cs_f, corr_src_mask, corr_tgt_pts, ct_f, corr_tgt_mask)
 
-    T_cur = best_T
-    dims = tuple(cfg.icp_dims)
-    stages = []
-    if cfg.icp_coarse_corr is not None:
-        stages.append((float(cfg.icp_coarse_corr), int(cfg.icp_coarse_iter),
-                       32, corr_src_pts, corr_src_mask,
-                       corr_tgt_pts, corr_tgt_mask))
-    stages.append((float(cfg.icp_max_corr), int(cfg.icp_max_iter),
-                   int(cfg.icp_budget), corr_src_pts, corr_src_mask,
-                   corr_tgt_pts, corr_tgt_mask))
-    if raw_src_pts is not None and cfg.icp_raw_iter > 0:
-        stages.append((float(cfg.icp_max_corr), int(cfg.icp_raw_iter),
-                       int(cfg.icp_raw_budget), raw_src_pts, raw_src_mask,
-                       raw_tgt_pts, raw_tgt_mask))
-    for corr, iters, budget, s_pts, s_mask, t_pts, t_mask in stages:
-        grid = build_dense_grid(t_pts, t_mask, cell=corr, dims=dims)
-        arrays = (grid.points, grid.points_sorted, grid.order, grid.runs,
-                  grid.origin, grid.overflow)
-        T_cur, _, _, _ = _icp_loop(s_pts, s_mask, arrays, T_cur,
-                                   corr, iters, budget, dims)
+    T_cur, _, _ = refine_with_icp(
+        cfg, best_T, corr_src_pts, corr_src_mask,
+        corr_tgt_pts, corr_tgt_mask,
+        raw_src_pts, raw_src_mask, raw_tgt_pts, raw_tgt_mask)
     return best_T, T_cur
 
 

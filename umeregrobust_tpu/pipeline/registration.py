@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from umeregrobust_tpu.core.ume import estimate_rigid_from_ume
 from umeregrobust_tpu.ops.neighbors import knn
 from umeregrobust_tpu.pipeline.correlator import select_best_transform
-from umeregrobust_tpu.pipeline.icp import icp_point_to_point
+from umeregrobust_tpu.pipeline.icp import icp_point_to_point  # noqa: F401  (re-exported for callers)
 from umeregrobust_tpu.pipeline.matching import argmin_match, probabilistic_match_filter
 from umeregrobust_tpu.pipeline.ume_gen import ume_from_ball_query
 
@@ -76,6 +76,17 @@ class RegistrationConfig:
     # cell, hence the separate budget.
     icp_raw_iter: int = 12
     icp_raw_budget: int = 24
+    # multi-resolution schedule: the per-iteration cost is the candidate
+    # gather (9 windows x budget rows x #queries — measured ~4 ms/iter at
+    # 4096 queries / budget 32 on v5e, the dominant pipeline cost from
+    # realistic starts). Most iterations only need a coarse gradient:
+    # run them on the first icp_multires source rows (a uniform subsample
+    # — callers fill clouds in randomized order) with a small budget,
+    # then let the exact full-resolution stage converge in a few
+    # iterations (displacement-based exit). 0 = single-stage parity.
+    icp_multires: int = 1024
+    icp_multires_iter: int = 40
+    icp_multires_budget: int = 8
     # dense-grid box (cells) for the ICP correspondence index; the default
     # covers 77 m at 0.2 m cells — reference-regime scenes (100 m+ span)
     # need a larger box.
@@ -126,6 +137,65 @@ def copy_features_to_raw(
     _, idx = jax.lax.scan(step, None, qp.reshape(n_chunks, chunk, 3))
     idx = idx.reshape(-1)[:M]
     return sem_feat[idx] * raw_mask[:, None]
+
+
+def refine_with_icp(
+    cfg: RegistrationConfig,
+    T: jnp.ndarray,
+    corr_src_pts, corr_src_mask, corr_tgt_pts, corr_tgt_mask,
+    raw_src_pts=None, raw_src_mask=None,
+    raw_tgt_pts=None, raw_tgt_mask=None,
+):
+    """The full ICP refinement schedule (jittable; shared by every path):
+
+      optional coarse-radius stage (icp_coarse_corr)
+      -> multi-resolution stage (icp_multires source rows, small budget)
+      -> exact full-resolution correlator-cloud stage
+      -> optional raw-cloud polish (reference refine_registration runs on
+         the COMPLETE raw clouds, evaluate.py:63-110)
+
+    Per-iteration cost is the candidate gather, proportional to
+    #queries x budget; the coarse stages do the long haul cheaply and the
+    exact stages converge in a few iterations (displacement-based exit in
+    pipeline/icp._icp_loop). Returns (T, rmse, fitness) of the last stage.
+    """
+    from umeregrobust_tpu.ops.densegrid import build_dense_grid
+    from umeregrobust_tpu.pipeline.icp import _icp_loop
+
+    dims = tuple(cfg.icp_dims)
+
+    def grid_arrays(pts, mask, cell):
+        g = build_dense_grid(pts, mask, cell=cell, dims=dims)
+        return (g.points, g.points_sorted, g.order, g.runs, g.origin,
+                g.overflow)
+
+    stages = []
+    if cfg.icp_coarse_corr is not None:
+        stages.append((grid_arrays(corr_tgt_pts, corr_tgt_mask,
+                                   float(cfg.icp_coarse_corr)),
+                       float(cfg.icp_coarse_corr), int(cfg.icp_coarse_iter),
+                       32, corr_src_pts, corr_src_mask))
+    corr_grid = grid_arrays(corr_tgt_pts, corr_tgt_mask,
+                            float(cfg.icp_max_corr))
+    m = int(cfg.icp_multires)
+    if m and m < corr_src_pts.shape[0]:
+        stages.append((corr_grid, float(cfg.icp_max_corr),
+                       int(cfg.icp_multires_iter),
+                       int(cfg.icp_multires_budget),
+                       corr_src_pts[:m], corr_src_mask[:m]))
+    stages.append((corr_grid, float(cfg.icp_max_corr), int(cfg.icp_max_iter),
+                   int(cfg.icp_budget), corr_src_pts, corr_src_mask))
+    if raw_src_pts is not None and cfg.icp_raw_iter > 0:
+        stages.append((grid_arrays(raw_tgt_pts, raw_tgt_mask,
+                                   float(cfg.icp_max_corr)),
+                       float(cfg.icp_max_corr), int(cfg.icp_raw_iter),
+                       int(cfg.icp_raw_budget), raw_src_pts, raw_src_mask))
+
+    rmse = fit = jnp.float32(0.0)
+    for arrays, corr, iters, budget, sp, smk in stages:
+        T, rmse, fit, _ = _icp_loop(sp, smk, arrays, T, corr, iters, budget,
+                                    dims)
+    return T, rmse, fit
 
 
 @partial(
@@ -214,20 +284,10 @@ def register_pair_features(
         corr_tgt_pts, corr_tgt_feat, corr_tgt_mask)
 
     if run_icp:
-        T_ref, rmse, fit = icp_point_to_point(
-            corr_src_pts, corr_tgt_pts, best_T,
-            max_corr=cfg.icp_max_corr, max_iter=cfg.icp_max_iter,
-            src_mask=corr_src_mask, tgt_mask=corr_tgt_mask,
-            budget=cfg.icp_budget, dims=cfg.icp_dims)
-        if raw_src_pts is not None and cfg.icp_raw_iter > 0:
-            # full-resolution polish (reference evaluate.py:63-110 refines
-            # on the complete raw clouds): the transform is already
-            # converged, so a few dense iterations close the sampling gap
-            T_ref, rmse, fit = icp_point_to_point(
-                raw_src_pts, raw_tgt_pts, T_ref,
-                max_corr=cfg.icp_max_corr, max_iter=cfg.icp_raw_iter,
-                src_mask=raw_src_mask, tgt_mask=raw_tgt_mask,
-                budget=cfg.icp_raw_budget, dims=cfg.icp_dims)
+        T_ref, rmse, fit = refine_with_icp(
+            cfg, best_T, corr_src_pts, corr_src_mask,
+            corr_tgt_pts, corr_tgt_mask,
+            raw_src_pts, raw_src_mask, raw_tgt_pts, raw_tgt_mask)
     else:
         T_ref, rmse, fit = best_T, jnp.float32(0.0), jnp.float32(0.0)
     return RegistrationResult(
@@ -348,17 +408,10 @@ def register_pair_hungarian(
         corr_tgt_pts, corr_tgt_feat, corr_tgt_mask)
 
     if run_icp:
-        T_ref, rmse, fit = icp_point_to_point(
-            corr_src_pts, corr_tgt_pts, best_T,
-            max_corr=cfg.icp_max_corr, max_iter=cfg.icp_max_iter,
-            src_mask=corr_src_mask, tgt_mask=corr_tgt_mask,
-            budget=cfg.icp_budget, dims=cfg.icp_dims)
-        if raw_src_pts is not None and cfg.icp_raw_iter > 0:
-            T_ref, rmse, fit = icp_point_to_point(
-                raw_src_pts, raw_tgt_pts, T_ref,
-                max_corr=cfg.icp_max_corr, max_iter=cfg.icp_raw_iter,
-                src_mask=raw_src_mask, tgt_mask=raw_tgt_mask,
-                budget=cfg.icp_raw_budget, dims=cfg.icp_dims)
+        T_ref, rmse, fit = refine_with_icp(
+            cfg, best_T, corr_src_pts, corr_src_mask,
+            corr_tgt_pts, corr_tgt_mask,
+            raw_src_pts, raw_src_mask, raw_tgt_pts, raw_tgt_mask)
     else:
         T_ref, rmse, fit = best_T, jnp.float32(0.0), jnp.float32(0.0)
     return RegistrationResult(
