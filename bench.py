@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--pairs-per-regime", type=int, default=0,
                     help="override pairs per regime (default 7 reduced / 3 "
                          "reference)")
+    ap.add_argument("--ckpt", default="",
+                    help="checkpoint override (default weights/"
+                         "synthetic_pretrain.pkl)")
     cli = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -97,8 +100,8 @@ def main():
         scene_kw = dict(extent=25.0, ground_points=12000,
                         structure_points=24000)
         sem_points = 50000
-    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "weights", "synthetic_pretrain.pkl")
+    ckpt = cli.ckpt or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "weights", "synthetic_pretrain.pkl")
     if os.path.exists(ckpt):
         from umeregrobust_tpu.train.checkpoint import load_checkpoint
         blob = load_checkpoint(ckpt)
