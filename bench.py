@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--ckpt", default="",
                     help="checkpoint override (default weights/"
                          "synthetic_pretrain.pkl)")
+    ap.add_argument("--icp-raw", action="store_true",
+                    help="plumb full-resolution raw clouds into the final "
+                         "ICP polish stage (reference refine_registration "
+                         "parity; measures the SP delta vs correlator-cloud "
+                         "refinement)")
     cli = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -84,10 +89,13 @@ def main():
         SEM_CAP, CORR_CAP = 50176, 10240
         caps = (SEM_CAP, 37632, 18816, 9408, 3200)
         N_PER_REGIME = cli.pairs_per_regime or 3
-        cfg = RegistrationConfig()  # defaults ARE the reference settings
+        # defaults ARE the reference settings; the ICP box grows to cover
+        # the 100 m+ span of extent-50 scenes at 0.2 m cells
+        cfg = RegistrationConfig(icp_dims=(768, 768, 96))
         scene_kw = dict(extent=50.0, ground_points=30000,
                         structure_points=60000)
         sem_points = 125000
+        RAW_CAP = 49152
     else:
         SEM_CAP, CORR_CAP = 16384, 4096
         caps = (SEM_CAP, 12288, 6144, 3072, 1024)
@@ -100,6 +108,7 @@ def main():
         scene_kw = dict(extent=25.0, ground_points=12000,
                         structure_points=24000)
         sem_points = 50000
+        RAW_CAP = 20480
     ckpt = cli.ckpt or os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "weights", "synthetic_pretrain.pkl")
     if os.path.exists(ckpt):
@@ -143,6 +152,13 @@ def main():
             cm = np.arange(CORR_CAP) < len(ci)
             out[tag] = dict(coords=c4, grid=g, seg=s, mask=m,
                             corr_pts=cp, corr_mask=cm)
+            if cli.icp_raw:
+                ri = np.random.default_rng(seed + 2).permutation(len(pts))
+                ri = ri[:RAW_CAP]
+                rp = np.zeros((RAW_CAP, 3), np.float32)
+                rp[: len(ri)] = pts[ri]
+                out[tag]["raw_pts"] = rp
+                out[tag]["raw_mask"] = np.arange(RAW_CAP) < len(ri)
         return out
 
     from functools import partial
@@ -163,6 +179,9 @@ def main():
               ("tgt", "coords"), ("tgt", "grid"), ("tgt", "mask"),
               ("src", "corr_pts"), ("src", "corr_mask"),
               ("tgt", "corr_pts"), ("tgt", "corr_mask")]
+    if cli.icp_raw:
+        FIELDS += [("src", "raw_pts"), ("src", "raw_mask"),
+                   ("tgt", "raw_pts"), ("tgt", "raw_mask")]
     stacked = tuple(jnp.asarray(np.stack([p[t][f] for p in pairs]))
                     for t, f in FIELDS)
     jax.block_until_ready(stacked)
@@ -171,6 +190,8 @@ def main():
     def run_idx(key, i, *st):
         sliced = [jax.lax.dynamic_index_in_dim(a, i, keepdims=False)
                   for a in st]
+        # sliced[10:14] (when present) are the raw clouds: register_pair_e2e
+        # takes them as its raw_* keyword block in the same order
         _, T_ref = register_pair_e2e(params, state, arch, caps, cfg, key,
                                      *sliced)
         return T_ref
@@ -203,7 +224,7 @@ def main():
         cc -= cc.min(axis=0)
         dims = cc.max(axis=0) + 1
         worst_box = max(worst_box, int(np.sum(
-            (cc >= (384, 384, 96)).any(axis=1))))
+            (cc >= cfg.icp_dims).any(axis=1))))
         occ = np.zeros(dims, np.int32)
         np.add.at(occ, tuple(cc.T), 1)
         w = occ.copy()
