@@ -49,6 +49,14 @@ def main():
                          "ICP polish stage (reference refine_registration "
                          "parity; measures the SP delta vs correlator-cloud "
                          "refinement)")
+    ap.add_argument("--corr-mode", choices=("radius", "knn"), default="",
+                    help="ablation: correlator scoring mode (default: the "
+                         "regime's setting — radius)")
+    ap.add_argument("--hyps", type=int, default=0,
+                    help="ablation: override hypothesis count "
+                         "(ume_n_samples)")
+    ap.add_argument("--kpts", type=int, default=0,
+                    help="ablation: override initial keypoint count")
     cli = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -109,6 +117,17 @@ def main():
                         structure_points=24000)
         sem_points = 50000
         RAW_CAP = 20480
+    if cli.corr_mode or cli.hyps or cli.kpts:
+        from dataclasses import replace
+        kw = {}
+        if cli.corr_mode:
+            kw["corr_mode"] = cli.corr_mode
+        if cli.hyps:
+            kw["ume_n_samples"] = cli.hyps
+        if cli.kpts:
+            kw["num_init_keypoints"] = cli.kpts
+        cfg = replace(cfg, **kw)
+        log(f"ablation overrides: {kw}")
     ckpt = cli.ckpt or os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                     "weights", "synthetic_pretrain.pkl")
     if os.path.exists(ckpt):
