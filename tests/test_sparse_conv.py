@@ -221,6 +221,48 @@ class TestGeometryEquivalence:
     def test_resunetsmall2(self, rng):
         self._check(rng, "ResUNetSmall2")
 
+    def test_fast_grouped_forms_match_tap_grouping(self, rng):
+        """The rank-join fast path builds GroupedMaps directly; they must
+        equal group_kernel_map() of the (reconstructed) tap maps, and
+        ungroup must round-trip."""
+        from umeregrobust_tpu.models.resunet import (
+            ARCHS, build_unet_geometry)
+        from umeregrobust_tpu.ops.sparse import (
+            group_kernel_map, ungroup_kernel_map)
+
+        arch = ARCHS["ResUNetSmall2"]
+        L = len(arch.channels)
+        n = 150
+        coords = np.unique(np.concatenate(
+            [rng.integers(0, 2, (2 * n, 1)),
+             rng.integers(-16, 16, (2 * n, 3))], axis=1).astype(np.int32),
+            axis=0)[:n]
+        cap = 192
+        c4 = np.full((cap, 4), 2**20, np.int32)
+        c4[: len(coords)] = coords
+        mask = np.arange(cap) < len(coords)
+        geom = build_unet_geometry(jnp.asarray(c4), jnp.asarray(mask), arch,
+                                   tuple(cap for _ in range(L)))
+
+        def check(got, tap, z_reversed, tag):
+            want = group_kernel_map(tap, 3, z_reversed=z_reversed)
+            for f in ("center", "masks", "patho", "worder"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+                    err_msg=f"{tag}.{f}")
+            np.testing.assert_array_equal(
+                np.asarray(ungroup_kernel_map(want)), np.asarray(tap),
+                err_msg=f"{tag} ungroup round-trip")
+
+        for lv in range(L):
+            check(geom["block_g"][lv], geom["block_maps"][lv], False,
+                  f"block_g[{lv}]")
+            check(geom["enc_g"][lv], geom["enc_maps"][lv], False,
+                  f"enc_g[{lv}]")
+        for d in range(L - 1):
+            check(geom["dec_g"][d], geom["dec_maps"][d], True,
+                  f"dec_g[{d}]")
+
     @pytest.mark.slow  # non-flagship arch variant (compile-heavy)
     def test_resunet_k7_stride4(self, rng):
         self._check(rng, "ResUNet")

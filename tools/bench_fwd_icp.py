@@ -74,6 +74,19 @@ def main():
         print(f"{name:36s} {dt:8.2f} ms (compile {t1-t0:.0f}s, chk {s:.3f})",
               flush=True)
 
+    def f_geom(coords2, mask2):
+        g = build_unet_geometry(coords2, mask2, arch, caps2)
+        acc = jnp.int32(0)
+        for lv in range(len(g["block_maps"])):
+            acc += jnp.sum(g["block_maps"][lv]) + jnp.sum(g["enc_maps"][lv])
+            bg = g["block_g"][lv]
+            acc += jnp.sum(bg.center) + jnp.sum(bg.masks) + jnp.sum(bg.patho)
+        for d in range(len(g["dec_maps"])):
+            acc += jnp.sum(g["dec_maps"][d]) + jnp.sum(g["dec_g"][d].center)
+        return acc
+
+    timeit("geometry (maps + grouped)", f_geom, coords2, mask2)
+
     geom = build_unet_geometry(coords2, mask2, arch, caps2)
     jax.block_until_ready(geom["levels"][0].coords)
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["batched_sorted_lookup", "sorted_join", "pack_coords",
-           "pack_code", "sorted_join_code"]
+           "pack_code", "sorted_join_code", "sorted_join_rank"]
 
 _KEY_SENTINEL = jnp.int32(0x7FFFFFF0)
 _QUERY_SENTINEL = jnp.int32(0x7FFFFF00)
@@ -190,6 +190,37 @@ def pack_code(c: jnp.ndarray, valid: jnp.ndarray,
     code = ((b << 29) | ((x + COMPACT_BX) << 19)
             | ((y + COMPACT_BX) << 9) | (z + COMPACT_BZ))
     return jnp.where(ok, code, sentinel)
+
+
+def sorted_join_rank(key_code: jnp.ndarray, q_code: jnp.ndarray) -> jnp.ndarray:
+    """Rank join: for every query, the index of the LAST key with
+    code <= the query's code (-1 if none), under the `sorted_join_code`
+    precondition (key codes lex-sorted ascending, unique among valid rows,
+    invalid keys at KEY_SENTINEL, invalid queries at QUERY_SENTINEL).
+
+    Unlike the exact-match join, the rank lets a caller holding the sorted
+    key codes resolve an entire z-column of kernel-map candidates with one
+    wide window gather (see ops/sparse window helpers): the candidate
+    codes c - t, c, c + t occupy CONSECUTIVE key rows when present (level
+    coords lie on a t-lattice), so the rank of c answers all three — one
+    query per column instead of one per tap. Sentinel keys sort after
+    every valid query and never perturb a valid query's rank; invalid
+    queries return the last valid rank, which callers mask by comparing
+    window codes (the query sentinel never equals any key code).
+    """
+    N = key_code.shape[0]
+    M = q_code.shape[0]
+    code = jnp.concatenate([key_code, q_code])
+    payload = jnp.concatenate([
+        jnp.zeros((N,), jnp.int32),
+        jnp.arange(M, dtype=jnp.int32) | jnp.int32(1 << 30),
+    ])
+    _, pay_s = jax.lax.sort((code, payload), num_keys=1)
+    is_key = pay_s < jnp.int32(1 << 30)
+    rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1
+    q_row = pay_s & jnp.int32((1 << 30) - 1)
+    dst = jnp.where(is_key, jnp.int32(M), q_row)
+    return jnp.full((M,), jnp.int32(-1)).at[dst].set(rank, mode="drop")
 
 
 def sorted_join_code(key_code: jnp.ndarray, q_code: jnp.ndarray) -> jnp.ndarray:

@@ -56,7 +56,10 @@ __all__ = [
     "sort_level",
     "build_conv_map",
     "build_transpose_map",
+    "code_window_table",
+    "window_probe",
     "group_kernel_map",
+    "ungroup_kernel_map",
     "sparse_conv",
     "sparse_conv_grouped",
     "masked_batch_norm",
@@ -169,6 +172,54 @@ def build_level_maps(
         out.append(res[ofs: ofs + n].reshape(shape))
         ofs += n
     return out
+
+
+# Window-table pad word for the rank-join fast path: larger than every
+# valid compact code (< 0x60000000) and distinct from both sentinels plus
+# any +-stride neighborhood of them (strides <= 24 in every shipped arch).
+_WINDOW_PAD = jnp.int32(0x7F000001)
+
+
+def code_window_table(key_code: jnp.ndarray) -> jnp.ndarray:
+    """(N + 1, 3) int32 table for rank-join window probes.
+
+    Row j = (code[j-2], code[j-1], code[j]) with out-of-array entries at
+    `_WINDOW_PAD`; indexing at j = rank + 1 yields the key codes at rows
+    rank-1, rank, rank+1 in ONE wide gather (vs three narrow ones — narrow
+    gathers are the measured v5e bottleneck, ~3 cycles/row regardless of
+    width).
+    """
+    pad = jnp.full((1,), _WINDOW_PAD, jnp.int32)
+    km1 = jnp.concatenate([pad, pad, key_code[:-1]])
+    k0 = jnp.concatenate([pad, key_code])
+    kp1 = jnp.concatenate([key_code, pad])
+    return jnp.stack([km1, k0, kp1], axis=1)
+
+
+def window_probe(
+    rank: jnp.ndarray, c: jnp.ndarray, wtab: jnp.ndarray, step: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Resolve a z-column of candidates (codes c-step, c, c+step) from a
+    rank join (ops/sortmaps.sorted_join_rank).
+
+    rank, c: any matching shape; wtab from `code_window_table` over the
+    level's sorted key codes; step = the level's z lattice spacing in
+    code units (= tensor stride for self maps, stride*t at interfaces).
+
+    Returns (v0, v1, v2): presence of the candidate at c-step / c / c+step.
+    Given rank r: the c candidate sits at key row r (if v1), c-step at
+    r - v1, and c+step at r + 1. The z-field guards keep code arithmetic
+    from wrapping into the y field at the +-256-unit z boundary — a
+    candidate beyond it is out of compact range and correctly dropped.
+    """
+    j = jnp.clip(rank + 1, 0, wtab.shape[0] - 1)
+    w = wtab[j]  # (..., 3) wide gather
+    kprev, kc, knext = w[..., 0], w[..., 1], w[..., 2]
+    zf = c & jnp.int32((1 << 9) - 1)
+    v1 = kc == c
+    v0 = (jnp.where(v1, kprev, kc) == c - step) & (zf >= step)
+    v2 = (knext == c + step) & (zf < 512 - step)
+    return v0, v1, v2
 
 
 class InterfaceCandidates(NamedTuple):
@@ -399,6 +450,31 @@ def group_kernel_map(
     patho = v0 & ~v1 & v2
     worder = jnp.asarray([2, 1, 0] if z_reversed else [0, 1, 2], jnp.int32)
     return GroupedMap(center=c + 1, masks=masks, patho=patho, worder=worder)
+
+
+def ungroup_kernel_map(gmap: GroupedMap) -> jnp.ndarray:
+    """Inverse of `group_kernel_map`: materialize the (27, N_out) per-tap
+    map from the canonical-anchor form.
+
+    Cheap and elementwise — it lets the geometry builder construct ONLY
+    the grouped form (directly from rank joins, no per-tap queries) and
+    still export the per-tap arrays for the scan path, the sharded
+    points path, and the equivalence tests. Round-trip invariant:
+    ungroup(group(m)) == m for every map this package builds.
+    """
+    c = gmap.center.astype(jnp.int32) - 1  # real center row
+    m0, m1, m2 = gmap.masks[:, 0], gmap.masks[:, 1], gmap.masks[:, 2]
+    neg = jnp.int32(-1)
+    r0 = jnp.where(m0, c - 1, neg)
+    r1 = jnp.where(m1, c, neg)
+    # the case-B pathological row keeps its dz=+1 candidate at the window
+    # center (slot 1); see GroupedMap
+    r2 = jnp.where(m2, c + 1, jnp.where(gmap.patho, c, neg))
+    g = jnp.stack([r0, r1, r2], axis=1)  # (9, 3, N) ascending-row slots
+    # ascending-row slot p holds tap worder[p]; worder is an involution
+    # for both shipped orders ([0,1,2], [2,1,0]), so it is its own inverse
+    g = g[:, gmap.worder]
+    return g.reshape(27, g.shape[-1])
 
 
 def sparse_conv_grouped(
