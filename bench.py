@@ -57,6 +57,14 @@ def main():
                          "(ume_n_samples)")
     ap.add_argument("--kpts", type=int, default=0,
                     help="ablation: override initial keypoint count")
+    ap.add_argument("--filter-mode", choices=("prob", "topk", "mix"),
+                    default="",
+                    help="ablation: hypothesis filter (default: the "
+                         "regime's setting)")
+    ap.add_argument("--fuse", type=int, default=0,
+                    help="pairs fused per launch (default 8 reduced / 1 "
+                         "reference; the axon tunnel costs ~160 ms "
+                         "per launch that device compute cannot overlap)")
     cli = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -117,7 +125,7 @@ def main():
                         structure_points=24000)
         sem_points = 50000
         RAW_CAP = 20480
-    if cli.corr_mode or cli.hyps or cli.kpts:
+    if cli.corr_mode or cli.hyps or cli.kpts or cli.filter_mode:
         from dataclasses import replace
         kw = {}
         if cli.corr_mode:
@@ -126,6 +134,8 @@ def main():
             kw["ume_n_samples"] = cli.hyps
         if cli.kpts:
             kw["num_init_keypoints"] = cli.kpts
+        if cli.filter_mode:
+            kw["filter_mode"] = cli.filter_mode
         cfg = replace(cfg, **kw)
         log(f"ablation overrides: {kw}")
     ckpt = cli.ckpt or os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -215,19 +225,25 @@ def main():
                                      *sliced)
         return T_ref
 
-    # two independent pairs traced in ONE program (no vmap): XLA
-    # interleaves the gather-bound backbone of one pair with the
-    # MXU-bound correlator of the other and halves dispatch — measured
-    # +5% vs sequential, while vmap batching is 2.7x SLOWER
-    # (EXPERIMENTS.md E3; tools/bench_dual.py: K=2 wins, K=4 loses it)
+    # K independent pairs traced in ONE program (no vmap — vmap batching is
+    # 2.7x SLOWER, EXPERIMENTS.md E3): XLA interleaves the gather-bound
+    # backbone of one pair with the MXU-bound correlator of another, and —
+    # decisive through the axon tunnel — each launch pays ~160 ms of
+    # dispatch that does NOT overlap device compute (jax.profiler trace,
+    # BENCH_NOTES_r3: fused-2 device time is 154 ms while the bench loop
+    # spends 314 ms/launch). Fusing K pairs divides that fixed cost by K.
+    FUSE_K = cli.fuse if cli.fuse else (8 if cli.regime == "reduced" else 1)
+
     @partial(jax.jit, static_argnames=())
-    def run_idx2(keys2, i, j, *st):
-        def one(key, idx):
-            sliced = [jax.lax.dynamic_index_in_dim(a, idx, keepdims=False)
+    def run_idxk(keysK, idxs, *st):
+        outs = []
+        for j in range(FUSE_K):
+            sliced = [jax.lax.dynamic_index_in_dim(a, idxs[j],
+                                                   keepdims=False)
                       for a in st]
-            return register_pair_e2e(params, state, arch, caps, cfg, key,
-                                     *sliced)[1]
-        return one(keys2[0], i), one(keys2[1], j)
+            outs.append(register_pair_e2e(params, state, arch, caps, cfg,
+                                          keysK[j], *sliced)[1])
+        return tuple(outs)
 
     def run_pair_i(i, key):
         return run_idx(key, jnp.int32(i), *stacked)
@@ -260,42 +276,44 @@ def main():
     assert worst_win <= cfg.icp_budget, "icp budget still insufficient"
     assert worst_box == 0, "ICP grid box does not cover the benchmark clouds"
 
-    # warmup / compile (both the fused-2 and the odd-tail program).
-    # The fused-2 trick is a ~5% win at the reduced point but doubles the
-    # executable; at the 50k reference point dispatch latency is <2% of the
-    # ~0.9 s/pair device time, so pairs go one-at-a-time there.
-    use_dual = cli.regime == "reduced"
-    t0 = time.time()
-    T = run_pair_i(0, key)
-    T.block_until_ready()
-    log(f"compile+first pair: {time.time()-t0:.1f}s")
-    if use_dual:
-        t0 = time.time()
-        Ta, Tb = run_idx2(jax.random.split(key), jnp.int32(0), jnp.int32(1),
-                          *stacked)
-        jax.block_until_ready((Ta, Tb))
-        log(f"compile fused-2: {time.time()-t0:.1f}s")
-
-    # Steady-state throughput with pipelined dispatch: enqueue every pair
-    # (JAX dispatch is async — the ~40 ms/launch host+tunnel latency then
-    # overlaps device compute, exactly like a double-buffered eval loop),
-    # then fetch every 4x4 result. The wall clock covers dispatch + all
-    # device work + all fetches, so nothing escapes the timed region
-    # (np.asarray per result — block_until_ready has been observed to
-    # return early through the remote tunnel).
+    # warmup / compile. At the 50k reference point dispatch latency is <2%
+    # of the ~0.9 s/pair device time, so pairs go one-at-a-time there.
+    use_fuse = FUSE_K > 1
+    n = len(pairs)
     # per-pair keys in ONE device op — an eager split per pair costs a
     # full tunnel round-trip (~40-80 ms) and would dominate the loop
-    keys = jax.random.split(key, len(pairs))
+    keys = jax.random.split(key, n)
     jax.block_until_ready(keys)
-    n = len(pairs)
+    if use_fuse:
+        t0 = time.time()
+        warm_idx = jnp.asarray(np.arange(FUSE_K) % n, jnp.int32)
+        outs = run_idxk(keys[:FUSE_K], warm_idx, *stacked)
+        jax.block_until_ready(outs)
+        log(f"compile fused-{FUSE_K} + first {FUSE_K} pairs: "
+            f"{time.time()-t0:.1f}s")
+    else:
+        t0 = time.time()
+        T = run_pair_i(0, key)
+        T.block_until_ready()
+        log(f"compile+first pair: {time.time()-t0:.1f}s")
+
+    # Steady-state throughput with pipelined dispatch: enqueue every batch
+    # (JAX dispatch is async), then fetch every 4x4 result. The wall clock
+    # covers dispatch + all device work + all fetches, so nothing escapes
+    # the timed region (np.asarray per result — block_until_ready has been
+    # observed to return early through the remote tunnel). The tail batch
+    # wraps around to the first pairs (their extra runs are discarded):
+    # one padded launch beats several single launches at ~160 ms fixed
+    # dispatch each.
     t0 = time.time()
     handles = [None] * n
-    if use_dual:
-        for b in range(0, n - 1, 2):
-            handles[b], handles[b + 1] = run_idx2(
-                keys[b: b + 2], jnp.int32(b), jnp.int32(b + 1), *stacked)
-        if n % 2:
-            handles[n - 1] = run_pair_i(n - 1, keys[n - 1])
+    if use_fuse:
+        for b in range(0, n, FUSE_K):
+            idxs = np.arange(b, b + FUSE_K) % n
+            kb = jnp.take(keys, jnp.asarray(idxs, jnp.int32), axis=0)
+            outs = run_idxk(kb, jnp.asarray(idxs, jnp.int32), *stacked)
+            for j in range(min(FUSE_K, n - b)):
+                handles[b + j] = outs[j]
     else:
         for b in range(n):
             handles[b] = run_pair_i(b, keys[b])

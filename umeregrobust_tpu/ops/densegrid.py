@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["DenseGrid", "build_dense_grid", "dense_nn_query",
-           "max_cell_count", "max_window_count"]
+           "dense_candidates", "max_cell_count", "max_window_count"]
 
 DEFAULT_DIMS = (384, 384, 96)
 _FAR = 1e9  # parked coordinate for masked/padded rows
@@ -121,14 +121,12 @@ def build_dense_grid(
                      dims=tuple(dims))
 
 
-@partial(jax.jit, static_argnames=("radius", "budget", "cell", "dims"))
-def _query(points_sorted, order, runs, origin, queries, q_mask,
-           radius, budget, cell, dims):
+def _window_positions(runs, origin, queries, N, budget, cell, dims):
+    """(M, 9*budget) rows into points_sorted covering the 9 (dx, dy)
+    3-z-cell windows around each query; empty slots at N (the FAR row)."""
     M = queries.shape[0]
-    N = order.shape[0]
     Dx, Dy, Dz = dims
     C = Dx * Dy * Dz
-    r2 = jnp.float32(radius) ** 2
 
     qc = jnp.floor(queries / cell).astype(jnp.int32) - origin  # (M, 3)
     d1 = jnp.asarray([-1, 0, 1], jnp.int32)
@@ -160,12 +158,43 @@ def _query(points_sorted, order, runs, origin, queries, q_mask,
     j = jnp.arange(budget, dtype=jnp.int32)[None, None, :]
     pos = s[..., None] + j  # (M, 9, budget)
     pos = jnp.where((pos < e[..., None]), pos, N)  # N -> FAR sentinel row
-    cand = points_sorted[pos.reshape(M, -1)]  # (M, 9*budget, 3)
+    return pos.reshape(M, -1)
+
+
+@partial(jax.jit, static_argnames=("budget", "cell", "dims"))
+def _candidates(points_sorted, runs, origin, queries, budget, cell, dims):
+    N = points_sorted.shape[0] - 1
+    pos = _window_positions(runs, origin, queries, N, budget, cell, dims)
+    return points_sorted[pos]
+
+
+def dense_candidates(grid: "DenseGrid", queries: jnp.ndarray,
+                     budget: int = 8) -> jnp.ndarray:
+    """All candidate target points in the 9 (dx, dy) x 3-z-cell windows
+    around each query, padded with FAR rows: (M, 9*budget, 3).
+
+    The gather half of `dense_nn_query`, exposed for correspondence-reuse
+    consumers: the random-access gather is the dominant cost (~3
+    cycles/row on v5e), while re-ranking a frozen candidate block is a
+    dense re-read — ICP inner blocks (pipeline/icp._icp_loop inner>1)
+    exploit exactly that."""
+    return _candidates(grid.points_sorted, grid.runs, grid.origin, queries,
+                       int(budget), grid.cell, grid.dims)
+
+
+@partial(jax.jit, static_argnames=("radius", "budget", "cell", "dims"))
+def _query(points_sorted, order, runs, origin, queries, q_mask,
+           radius, budget, cell, dims):
+    M = queries.shape[0]
+    N = order.shape[0]
+    r2 = jnp.float32(radius) ** 2
+    pos = _window_positions(runs, origin, queries, N, budget, cell, dims)
+    cand = points_sorted[pos]  # (M, 9*budget, 3)
     d2 = jnp.sum((queries[:, None, :] - cand) ** 2, axis=-1)
     d2 = jnp.where(d2 <= r2, d2, jnp.float32(1e30))
     k = jnp.argmin(d2, axis=-1)
     bd2 = jnp.take_along_axis(d2, k[:, None], axis=-1)[:, 0]
-    bpos = jnp.take_along_axis(pos.reshape(M, -1), k[:, None], axis=-1)[:, 0]
+    bpos = jnp.take_along_axis(pos, k[:, None], axis=-1)[:, 0]
     hit = (bd2 < 1e29) & q_mask
     bidx = jnp.where(hit, order[jnp.minimum(bpos, N - 1)], jnp.int32(-1))
     return jnp.sqrt(jnp.maximum(jnp.where(hit, bd2, 0.0), 0.0)), bidx

@@ -46,6 +46,17 @@ class RegistrationConfig:
     num_init_keypoints: int = 10000  # evaluate.py:196 when filtering
     filter_by_ume_dist: bool = True
     tau: float = 0.05
+    # How the ume_n_samples hypothesis matches are chosen from the
+    # num_init_keypoints candidates:
+    #   'prob' — iid sampling ~ softmax((1-d)/tau), the reference's filter
+    #            (evaluate.py:233-245);
+    #   'topk' — the best matches by subspace distance, deterministic;
+    #   'mix'  — half top-k + half prob-sampled from the remainder: keeps
+    #            the reference's diversity while guaranteeing the highest-
+    #            confidence matches are never sampled away (the hardened-
+    #            bench lowoverlap failures are exactly such sampling
+    #            misses: 4x hypotheses recovers them, BENCH_NOTES_r3).
+    filter_mode: str = "prob"
     corr_kernel_sigma: float = 1.5
     corr_knn: int = 20
     corr_var_knn: int = 50
@@ -91,6 +102,11 @@ class RegistrationConfig:
     # covers 77 m at 0.2 m cells — reference-regime scenes (100 m+ span)
     # need a larger box.
     icp_dims: Tuple[int, int, int] = (384, 384, 96)
+    # candidate-set reuse: each ICP step gathers the 9-window candidates
+    # once and runs icp_inner Umeyama updates against the frozen set (the
+    # gather is ~10x the cost of a re-rank on v5e; see
+    # pipeline/icp._icp_loop). 1 = gather every iteration (exact parity).
+    icp_inner: int = 4
 
 
 class RegistrationResult(NamedTuple):
@@ -194,7 +210,7 @@ def refine_with_icp(
     rmse = fit = jnp.float32(0.0)
     for arrays, corr, iters, budget, sp, smk in stages:
         T, rmse, fit, _ = _icp_loop(sp, smk, arrays, T, corr, iters, budget,
-                                    dims)
+                                    dims, inner=int(cfg.icp_inner))
     return T, rmse, fit
 
 
@@ -230,7 +246,20 @@ def _hypotheses_and_select(
                         src_mask=src_kp_ok, tgt_mask=tgt_kp_ok)
 
     if cfg.filter_by_ume_dist:
-        keep = probabilistic_match_filter(k_filt, d, cfg.ume_n_samples, cfg.tau)
+        n = cfg.ume_n_samples
+        if cfg.filter_mode == "topk":
+            keep = jax.lax.top_k(-d, n)[1].astype(jnp.int32)
+        elif cfg.filter_mode == "mix":
+            h = n // 2
+            keep_top = jax.lax.top_k(-d, h)[1].astype(jnp.int32)
+            # exclude the top block from the sampled half (d=1e6 rows get
+            # ~zero probability, same mechanism that drops invalid slots)
+            d_rest = d.at[keep_top].set(jnp.float32(1e6))
+            keep_s = probabilistic_match_filter(k_filt, d_rest, n - h,
+                                                cfg.tau)
+            keep = jnp.concatenate([keep_top, keep_s])
+        else:  # 'prob': reference parity (evaluate.py:233-245)
+            keep = probabilistic_match_filter(k_filt, d, n, cfg.tau)
     else:
         # mask-explicit: on clouds smaller than ume_n_samples the surplus
         # keypoint slots carry m = -1; route them to the best valid match
