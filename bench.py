@@ -61,6 +61,10 @@ def main():
                     default="",
                     help="ablation: hypothesis filter (default: the "
                          "regime's setting)")
+    ap.add_argument("--triage", type=int, default=-1,
+                    help="ablation: correlator triage pre-stage source "
+                         "rows (0 disables; enables scoring ALL "
+                         "hypotheses cheaply before the coarse cascade)")
     ap.add_argument("--fuse", type=int, default=0,
                     help="pairs fused per launch (default 8 reduced / 1 "
                          "reference; the axon tunnel costs ~160 ms "
@@ -95,6 +99,12 @@ def main():
                          min_rotation_deg=150, max_translation=8.0),
         "lowoverlap": dict(baseline=22.0, max_rotation_deg=120,
                            max_translation=12.0),
+        # discrimination reserve: after the triage cascade + 2048-hyp
+        # defaults saturated the three regimes above (BENCH_NOTES_r3),
+        # this one combines the 30 m baseline with 150-180 deg rotations
+        # so the suite keeps a sub-100% band that detects regressions
+        "verylow": dict(baseline=30.0, max_rotation_deg=180,
+                        min_rotation_deg=150, max_translation=14.0),
     }
     arch = ARCHS["ResUNetSmall2"]
     if cli.regime == "reference":
@@ -116,8 +126,12 @@ def main():
         SEM_CAP, CORR_CAP = 16384, 4096
         caps = (SEM_CAP, 12288, 6144, 3072, 1024)
         N_PER_REGIME = cli.pairs_per_regime or 7
+        # ume_n_samples 2048 + the 256-row triage cascade: 100% NP/SP on
+        # all three original regimes at ~-8% throughput vs 512 hyps
+        # (BENCH_NOTES_r3 — the lowoverlap failures were hypothesis-
+        # sampling misses; triage makes the large budget affordable)
         cfg = RegistrationConfig(
-            num_init_keypoints=2048, ume_n_samples=512,
+            num_init_keypoints=2048, ume_n_samples=2048,
             corr_coarse_src=1024, corr_coarse_tgt=1024, corr_rescore_top=32,
             icp_max_corr=0.4, icp_max_iter=60,
             icp_coarse_corr=None)
@@ -125,7 +139,8 @@ def main():
                         structure_points=24000)
         sem_points = 50000
         RAW_CAP = 20480
-    if cli.corr_mode or cli.hyps or cli.kpts or cli.filter_mode:
+    if (cli.corr_mode or cli.hyps or cli.kpts or cli.filter_mode
+            or cli.triage >= 0):
         from dataclasses import replace
         kw = {}
         if cli.corr_mode:
@@ -136,6 +151,8 @@ def main():
             kw["num_init_keypoints"] = cli.kpts
         if cli.filter_mode:
             kw["filter_mode"] = cli.filter_mode
+        if cli.triage >= 0:
+            kw["corr_triage_src"] = cli.triage if cli.triage > 0 else None
         cfg = replace(cfg, **kw)
         log(f"ablation overrides: {kw}")
     ckpt = cli.ckpt or os.path.join(os.path.dirname(os.path.abspath(__file__)),

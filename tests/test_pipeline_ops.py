@@ -227,6 +227,41 @@ class TestCorrelator:
             coarse_src=512, rescore_top=16, key=key)
         np.testing.assert_allclose(np.asarray(best_exact), np.asarray(best_2s))
 
+    def test_triage_cascade_preserves_winner(self, rng, key):
+        """The triage pre-stage (score all hypotheses on a tiny subsample,
+        keep the top block for the coarse cascade) must still return the
+        true transform, and its scores vector must carry the winner at the
+        right row of the FULL hypothesis set."""
+        from umeregrobust_tpu.core.transforms import random_rigid_transform
+        from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair
+        pair = make_pair(SceneConfig(extent=12.0, ground_points=2500,
+                                     structure_points=5000, n_boxes=10,
+                                     n_walls=4, n_poles=5, dropout=0.2),
+                         max_rotation_deg=60, max_translation=4.0, seed=13)
+        n = 2000
+        si = rng.choice(len(pair["src_pts"]), n, replace=False)
+        ti = rng.choice(len(pair["tgt_pts"]), n, replace=False)
+        src = jnp.array(pair["src_pts"][si])
+        tgt = jnp.array(pair["tgt_pts"][ti])
+        fs = jnp.stack([src[:, 2], jnp.array(pair["src_seg"][si], jnp.float32)], -1)
+        ft = jnp.stack([tgt[:, 2], jnp.array(pair["tgt_seg"][ti], jnp.float32)], -1)
+        mask = jnp.ones(n, bool)
+        bad = random_rigid_transform(key, (255,), max_translation=8.0)
+        gt_row = 100
+        Ts = jnp.concatenate(
+            [bad[:gt_row], jnp.array(pair["gt_tform"])[None], bad[gt_row:]],
+            axis=0)  # 256 hypotheses, gt at an interior row
+        best_T, scores = select_best_transform(
+            src, fs, mask, tgt, ft, mask, Ts, sigma=1.5,
+            coarse_src=512, rescore_top=8, key=key,
+            triage_src=256, triage_tgt=512, triage_top=32)
+        np.testing.assert_allclose(np.asarray(best_T), pair["gt_tform"],
+                                   atol=1e-5)
+        assert scores.shape == (256,)
+        assert int(jnp.argmax(scores)) == gt_row
+        # non-survivors are -inf, survivors of the exact stage are finite
+        assert int(jnp.sum(jnp.isfinite(scores))) == 8
+
     def test_radius_mode_agrees_with_knn_on_winner(self, rng, key):
         """The MXU-native radius-capped scorer must select the same winning
         hypothesis as the reference-parity kNN scorer."""

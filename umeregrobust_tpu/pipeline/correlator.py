@@ -300,6 +300,9 @@ def select_best_transform(
     rescore_top: int = 64,
     key: Optional[jax.Array] = None,
     mode: str = "knn",
+    triage_src: Optional[int] = None,
+    triage_tgt: Optional[int] = None,
+    triage_top: int = 512,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full hypothesis test: weight features, score all Ts, return
     (best_T, scores).
@@ -311,6 +314,15 @@ def select_best_transform(
     single-stage, reference parity). mode='knn' is the reference's kNN-20
     cap; mode='radius' is the MXU-native radius-capped variant
     (correlator_scores_radius / the fused Pallas kernel on TPU).
+
+    Optional triage pre-stage (triage_src set, H > triage_top): score ALL
+    hypotheses on a tiny subsample (e.g. 256x512 rows — ~1/8 the per-
+    hypothesis work of the coarse stage) and keep only the top triage_top
+    for the coarse+exact cascade. This pre-stage only has to land the
+    winner inside the top triage_top of H — a far looser bar than the
+    coarse stage's top-`rescore_top` — so a large hypothesis budget (the
+    recall lever on low-overlap pairs) costs ~the triage pass instead of
+    a proportional coarse pass.
     """
     # the fast path pairs the radius cap with approximate var-knn weights;
     # mode='knn' keeps both reference-exact
@@ -318,6 +330,24 @@ def select_best_transform(
         src_pts, src_feat, src_mask, tgt_pts, tgt_feat, tgt_mask,
         var_knn=var_knn, approx_var=(mode == "radius"))
     H = Ts.shape[0]
+    full_idx = None  # maps working hypotheses back to rows of Ts
+    if (triage_src is not None and triage_src < src_pts.shape[0]
+            and H > triage_top):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        key, k_ts, k_tt = jax.random.split(key, 3)
+        ssel = jax.random.choice(k_ts, src_pts.shape[0], (triage_src,),
+                                 replace=False)
+        ttp, ttf, ttm = tgt_pts, ft, tgt_mask
+        if triage_tgt is not None and triage_tgt < tgt_pts.shape[0]:
+            tsel = jax.random.choice(k_tt, tgt_pts.shape[0], (triage_tgt,),
+                                     replace=False)
+            ttp, ttf, ttm = tgt_pts[tsel], ft[tsel], tgt_mask[tsel]
+        tri = _score(mode, src_pts[ssel], fs[ssel], src_mask[ssel],
+                     ttp, ttf, ttm, Ts,
+                     knn_k=knn_k, sigma=sigma, chunk=min(1024, triage_src))
+        _, full_idx = jax.lax.top_k(tri, triage_top)
+        Ts = Ts[full_idx]
     if coarse_src is not None and coarse_src < src_pts.shape[0] and H > rescore_top:
         if key is None:
             key = jax.random.PRNGKey(0)
@@ -336,8 +366,12 @@ def select_best_transform(
         fine = _score(mode, src_pts, fs, src_mask, tgt_pts, ft, tgt_mask,
                       Ts_top, knn_k=knn_k, sigma=sigma)
         best = jnp.argmax(fine)
-        scores = jnp.full((H,), -jnp.inf).at[top_idx].set(fine)
+        out_idx = top_idx if full_idx is None else full_idx[top_idx]
+        scores = jnp.full((H,), -jnp.inf).at[out_idx].set(fine)
         return Ts_top[best], scores
     scores = _score(mode, src_pts, fs, src_mask, tgt_pts, ft, tgt_mask, Ts,
                     knn_k=knn_k, sigma=sigma)
-    return Ts[jnp.argmax(scores)], scores
+    best_T = Ts[jnp.argmax(scores)]
+    if full_idx is not None:
+        scores = jnp.full((H,), -jnp.inf).at[full_idx].set(scores)
+    return best_T, scores

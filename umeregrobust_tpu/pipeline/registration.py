@@ -63,6 +63,15 @@ class RegistrationConfig:
     corr_coarse_src: Optional[int] = 1024  # None => exact single-stage
     corr_coarse_tgt: Optional[int] = None  # subsample tgt in the coarse pass
     corr_rescore_top: int = 64
+    # triage pre-stage: score ALL hypotheses on a tiny (triage_src x
+    # triage_tgt) subsample and keep only the best corr_triage_top for the
+    # coarse+exact cascade — makes a large ume_n_samples (the low-overlap
+    # recall lever, BENCH_NOTES_r3 ablations) cost ~the triage pass
+    # instead of a proportional coarse pass. Inert when the hypothesis
+    # count is <= corr_triage_top. None => off (reference parity).
+    corr_triage_src: Optional[int] = 256
+    corr_triage_tgt: Optional[int] = 512
+    corr_triage_top: int = 512
     # 'radius' is the MXU-native fast path (~500x faster hypothesis scoring
     # than the kNN-20 cap on TPU); 'knn' reproduces the reference exactly.
     corr_mode: str = "radius"
@@ -282,7 +291,9 @@ def _hypotheses_and_select(
         Ts, sigma=cfg.corr_kernel_sigma, knn_k=cfg.corr_knn,
         var_knn=cfg.corr_var_knn, coarse_src=cfg.corr_coarse_src,
         coarse_tgt=cfg.corr_coarse_tgt,
-        rescore_top=cfg.corr_rescore_top, key=k_corr, mode=cfg.corr_mode)
+        rescore_top=cfg.corr_rescore_top, key=k_corr, mode=cfg.corr_mode,
+        triage_src=cfg.corr_triage_src, triage_tgt=cfg.corr_triage_tgt,
+        triage_top=cfg.corr_triage_top)
     return best_T, Ts, scores
 
 
@@ -377,7 +388,9 @@ def _select_from_matches(
         Ts, sigma=cfg.corr_kernel_sigma, knn_k=cfg.corr_knn,
         var_knn=cfg.corr_var_knn, coarse_src=cfg.corr_coarse_src,
         coarse_tgt=cfg.corr_coarse_tgt,
-        rescore_top=cfg.corr_rescore_top, key=key, mode=cfg.corr_mode)
+        rescore_top=cfg.corr_rescore_top, key=key, mode=cfg.corr_mode,
+        triage_src=cfg.corr_triage_src, triage_tgt=cfg.corr_triage_tgt,
+        triage_top=cfg.corr_triage_top)
     return best_T, scores
 
 
