@@ -65,6 +65,14 @@ def main():
                     help="ablation: correlator triage pre-stage source "
                          "rows (0 disables; enables scoring ALL "
                          "hypotheses cheaply before the coarse cascade)")
+    ap.add_argument("--icp-iter", type=int, default=0,
+                    help="ablation: exact-stage ICP max sub-iterations")
+    ap.add_argument("--mr-iter", type=int, default=0,
+                    help="ablation: multires-stage ICP sub-iterations")
+    ap.add_argument("--coarse-src", type=int, default=0,
+                    help="ablation: correlator coarse-stage source rows")
+    ap.add_argument("--rescore-top", type=int, default=0,
+                    help="ablation: exact-rescore hypothesis count")
     ap.add_argument("--fuse", type=int, default=0,
                     help="pairs fused per launch (default 8 reduced / 1 "
                          "reference; the axon tunnel costs ~160 ms "
@@ -130,9 +138,12 @@ def main():
         # all three original regimes at ~-8% throughput vs 512 hyps
         # (BENCH_NOTES_r3 — the lowoverlap failures were hypothesis-
         # sampling misses; triage makes the large budget affordable)
+        # coarse 512x1024 + rescore-top 16: after triage the coarse stage
+        # only ranks 512 survivors, so half the source rows and half the
+        # exact-rescore set lose zero recall (bisect in BENCH_NOTES_r3)
         cfg = RegistrationConfig(
             num_init_keypoints=2048, ume_n_samples=2048,
-            corr_coarse_src=1024, corr_coarse_tgt=1024, corr_rescore_top=32,
+            corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=16,
             icp_max_corr=0.4, icp_max_iter=60,
             icp_coarse_corr=None)
         scene_kw = dict(extent=25.0, ground_points=12000,
@@ -140,7 +151,8 @@ def main():
         sem_points = 50000
         RAW_CAP = 20480
     if (cli.corr_mode or cli.hyps or cli.kpts or cli.filter_mode
-            or cli.triage >= 0):
+            or cli.triage >= 0 or cli.icp_iter or cli.coarse_src
+            or cli.rescore_top or cli.mr_iter):
         from dataclasses import replace
         kw = {}
         if cli.corr_mode:
@@ -153,6 +165,14 @@ def main():
             kw["filter_mode"] = cli.filter_mode
         if cli.triage >= 0:
             kw["corr_triage_src"] = cli.triage if cli.triage > 0 else None
+        if cli.icp_iter:
+            kw["icp_max_iter"] = cli.icp_iter
+        if cli.mr_iter:
+            kw["icp_multires_iter"] = cli.mr_iter
+        if cli.coarse_src:
+            kw["corr_coarse_src"] = cli.coarse_src
+        if cli.rescore_top:
+            kw["corr_rescore_top"] = cli.rescore_top
         cfg = replace(cfg, **kw)
         log(f"ablation overrides: {kw}")
     ckpt = cli.ckpt or os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -260,7 +280,10 @@ def main():
                       for a in st]
             outs.append(register_pair_e2e(params, state, arch, caps, cfg,
                                           keysK[j], *sliced)[1])
-        return tuple(outs)
+        # ONE stacked output array per launch: each host fetch through the
+        # tunnel costs a ~30-40 ms round-trip, so K separate 4x4 results
+        # would add ~K x 35 ms per launch to the drain
+        return jnp.stack(outs)
 
     def run_pair_i(i, key):
         return run_idx(key, jnp.int32(i), *stacked)
@@ -323,18 +346,21 @@ def main():
     # one padded launch beats several single launches at ~160 ms fixed
     # dispatch each.
     t0 = time.time()
-    handles = [None] * n
     if use_fuse:
+        launches = []
         for b in range(0, n, FUSE_K):
             idxs = np.arange(b, b + FUSE_K) % n
             kb = jnp.take(keys, jnp.asarray(idxs, jnp.int32), axis=0)
-            outs = run_idxk(kb, jnp.asarray(idxs, jnp.int32), *stacked)
-            for j in range(min(FUSE_K, n - b)):
-                handles[b + j] = outs[j]
+            launches.append(run_idxk(kb, jnp.asarray(idxs, jnp.int32),
+                                     *stacked))
+        Ts_out = [None] * n
+        for li, outs in enumerate(launches):
+            block = np.asarray(outs)  # one fetch per launch
+            for j in range(min(FUSE_K, n - li * FUSE_K)):
+                Ts_out[li * FUSE_K + j] = block[j]
     else:
-        for b in range(n):
-            handles[b] = run_pair_i(b, keys[b])
-    Ts_out = [np.asarray(h) for h in handles]
+        handles = [run_pair_i(b, keys[b]) for b in range(n)]
+        Ts_out = [np.asarray(h) for h in handles]
     wall = time.time() - t0
     pps = n / wall
 

@@ -42,7 +42,7 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     SEM_CAP, CORR_CAP = 16384, 4096
-    N_KP, N_HYP = 2048, 512
+    N_KP, N_HYP = 2048, 2048
     arch = ARCHS["ResUNetSmall2"]
     caps = (SEM_CAP, 12288, 6144, 3072, 1024)
     caps2 = tuple(2 * c for c in caps)
@@ -104,17 +104,18 @@ def main():
     m, d = timeit("argmin_match (2048x2048)", match_fn)
 
     filt_fn = jax.jit(lambda k: probabilistic_match_filter(k, d, N_HYP, 0.05))
-    keep = timeit("prob_match_filter (512 of 2048)", filt_fn, key)
+    keep = timeit("prob_match_filter (2048 of 2048)", filt_fn, key)
 
     est_fn = jax.jit(lambda: estimate_rigid_from_ume(
         ume_s[keep], ume_t[m[keep]], compute_distance=False)[0])
-    Ts = timeit("estimator (512 hyps)", est_fn)
+    Ts = timeit("estimator (2048 hyps)", est_fn)
 
     sel_fn = jax.jit(lambda k: select_best_transform(
         cpts, cfeat, cmask, cpts, cfeat, cmask, Ts,
-        sigma=1.5, knn_k=20, var_knn=50, coarse_src=1024,
-        rescore_top=32, key=k, mode="radius"))
-    timeit("select_best_transform (512 hyps)", sel_fn, key)
+        sigma=1.5, knn_k=20, var_knn=50, coarse_src=1024, coarse_tgt=1024,
+        rescore_top=32, key=k, mode="radius",
+        triage_src=256, triage_tgt=512, triage_top=512))
+    timeit("select_best (2048 hyps, triage cascade)", sel_fn, key)
 
     grid_fn = jax.jit(lambda: build_dense_grid(cpts, cmask, cell=0.4,
                                                dims=DEFAULT_DIMS))
@@ -127,6 +128,9 @@ def main():
     icp32_fn = jax.jit(lambda T: _icp_loop(cpts, cmask, arrays, T, 0.4, 60, 32,
                                            DEFAULT_DIMS)[0])
     timeit("icp 60 iters (4k, budget 32)", icp32_fn, jnp.eye(4))
+    icp_in4 = jax.jit(lambda T: _icp_loop(cpts, cmask, arrays, T, 0.4, 60, 32,
+                                          DEFAULT_DIMS, inner=4)[0])
+    timeit("icp 60 iters (4k, budget 32, inner=4)", icp_in4, jnp.eye(4))
 
 
 if __name__ == "__main__":

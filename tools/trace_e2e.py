@@ -23,7 +23,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--hyps", type=int, default=512)
+    ap.add_argument("--hyps", type=int, default=2048)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--dual", action="store_true",
                     help="trace the bench's fused-2 (two pairs/program)")
@@ -139,7 +139,9 @@ def main():
                 if "TPU" in name or "/device" in name.lower()}
     print("process lanes:", pids, flush=True)
     agg = {}
+    scopes = {}
     total = 0.0
+    shown = 0
     for e in evs:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
             dur = e.get("dur", 0) / 1000.0  # us -> ms
@@ -148,8 +150,28 @@ def main():
             a[0] += dur
             a[1] += 1
             total += dur
+            # jax.named_scope lands in the HLO op metadata, surfaced in
+            # the trace as a per-event arg (long_name/tf_op/hlo_op);
+            # aggregate by its first path segment = pipeline stage
+            ar = e.get("args") or {}
+            meta = (ar.get("long_name") or ar.get("tf_op")
+                    or ar.get("hlo_op") or "")
+            if shown < 3 and ar:
+                print("sample event args:", name, dict(list(ar.items())[:6]),
+                      flush=True)
+                shown += 1
+            stage = meta.split("/")[0] if "/" in meta else (meta or "?")
+            s = scopes.setdefault(stage, [0.0, 0])
+            s[0] += dur
+            s[1] += 1
     print(f"\ndevice total: {total:.2f} ms over {args.reps} reps "
           f"({total/args.reps:.2f} ms/run)\n")
+    if len(scopes) > 1:
+        print("by stage scope:")
+        for name, (ms, c) in sorted(scopes.items(), key=lambda x: -x[1][0]):
+            print(f"{ms/args.reps:9.3f} ms  x{c//max(args.reps,1):<5d} "
+                  f"{name[:60]}")
+        print()
     for name, (ms, c) in sorted(agg.items(), key=lambda x: -x[1][0])[: args.top]:
         print(f"{ms/args.reps:9.3f} ms  x{c//args.reps:<5d} {name[:100]}")
 

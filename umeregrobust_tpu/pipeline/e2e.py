@@ -56,30 +56,38 @@ def register_pair_e2e(
     evaluate.py:63-110; cfg.icp_raw_iter controls the stage).
     """
     N = src_coords.shape[0]
-    tgt_b = tgt_coords.at[:, 0].add(jnp.where(tgt_mask, 1, 0))
-    coords2 = jnp.concatenate([src_coords, tgt_b], axis=0)
-    mask2 = jnp.concatenate([src_mask, tgt_mask])
-    caps2 = tuple(2 * c for c in caps)
-    geom = build_unet_geometry(coords2, mask2, arch, caps2)
-    fin = jnp.ones((2 * N, 1), jnp.float32) * mask2[:, None]
-    both, _ = resunet_apply(params, state, geom, fin, arch,
-                            train=False, compute_dtype=compute_dtype)
-    feats = {"src": both[:N], "tgt": both[N:]}
+    # named scopes flow into XLA op metadata -> fusion names, so
+    # tools/trace_e2e.py can attribute device time by pipeline stage
+    with jax.named_scope("geometry"):
+        tgt_b = tgt_coords.at[:, 0].add(jnp.where(tgt_mask, 1, 0))
+        coords2 = jnp.concatenate([src_coords, tgt_b], axis=0)
+        mask2 = jnp.concatenate([src_mask, tgt_mask])
+        caps2 = tuple(2 * c for c in caps)
+        geom = build_unet_geometry(coords2, mask2, arch, caps2)
+    with jax.named_scope("forward"):
+        fin = jnp.ones((2 * N, 1), jnp.float32) * mask2[:, None]
+        both, _ = resunet_apply(params, state, geom, fin, arch,
+                                train=False, compute_dtype=compute_dtype)
+        feats = {"src": both[:N], "tgt": both[N:]}
 
-    cs_f = copy_features_to_raw(corr_src_pts, corr_src_mask, src_grid,
-                                feats["src"], src_mask)
-    ct_f = copy_features_to_raw(corr_tgt_pts, corr_tgt_mask, tgt_grid,
-                                feats["tgt"], tgt_mask)
+    with jax.named_scope("feat_to_raw"):
+        cs_f = copy_features_to_raw(corr_src_pts, corr_src_mask, src_grid,
+                                    feats["src"], src_mask)
+        ct_f = copy_features_to_raw(corr_tgt_pts, corr_tgt_mask, tgt_grid,
+                                    feats["tgt"], tgt_mask)
 
-    best_T, _, _ = _hypotheses_and_select(
-        cfg, key,
-        src_grid, feats["src"], src_mask, tgt_grid, feats["tgt"], tgt_mask,
-        corr_src_pts, cs_f, corr_src_mask, corr_tgt_pts, ct_f, corr_tgt_mask)
+    with jax.named_scope("hypotheses"):
+        best_T, _, _ = _hypotheses_and_select(
+            cfg, key,
+            src_grid, feats["src"], src_mask, tgt_grid, feats["tgt"], tgt_mask,
+            corr_src_pts, cs_f, corr_src_mask, corr_tgt_pts, ct_f,
+            corr_tgt_mask)
 
-    T_cur, _, _ = refine_with_icp(
-        cfg, best_T, corr_src_pts, corr_src_mask,
-        corr_tgt_pts, corr_tgt_mask,
-        raw_src_pts, raw_src_mask, raw_tgt_pts, raw_tgt_mask)
+    with jax.named_scope("icp"):
+        T_cur, _, _ = refine_with_icp(
+            cfg, best_T, corr_src_pts, corr_src_mask,
+            corr_tgt_pts, corr_tgt_mask,
+            raw_src_pts, raw_src_mask, raw_tgt_pts, raw_tgt_mask)
     return best_T, T_cur
 
 
