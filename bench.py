@@ -77,6 +77,19 @@ def main():
                     help="pairs fused per launch (default 8 reduced / 1 "
                          "reference; the axon tunnel costs ~160 ms "
                          "per launch that device compute cannot overlap)")
+    ap.add_argument("--fuse-mode", choices=("unroll", "scan"), default="",
+                    help="how the fused launch is built: 'unroll' traces "
+                         "FUSE_K copies of the pipeline (XLA interleaves "
+                         "pairs, but program size ~ K: 124 MB executable at "
+                         "K=8 -> slow compiles and slow persistent-cache "
+                         "loads through the tunnel); 'scan' runs a "
+                         "lax.scan over the pair index (one-pair program "
+                         "size, ONE launch for the whole suite). Default: "
+                         "scan for reduced, unroll for reference.")
+    ap.add_argument("--unroll", type=int, default=2,
+                    help="scan-mode unroll factor: duplicates the scan "
+                         "body so XLA can interleave that many pairs "
+                         "(program size ~ unroll)")
     cli = ap.parse_args()
     import jax
     import jax.numpy as jnp
@@ -270,6 +283,16 @@ def main():
     # BENCH_NOTES_r3: fused-2 device time is 154 ms while the bench loop
     # spends 314 ms/launch). Fusing K pairs divides that fixed cost by K.
     FUSE_K = cli.fuse if cli.fuse else (8 if cli.regime == "reduced" else 1)
+    # 'scan' mode gets the same dispatch amortization at ONE-pair program
+    # size: a lax.scan over the pair index runs the whole suite in a single
+    # launch, and the executable stays small (the unrolled fused-8 program
+    # is 124 MB — a ~19 min fresh compile and a multi-minute persistent-
+    # cache LOAD through a congested tunnel; the scan program is ~1/8 of
+    # that). unroll=2 duplicates the scan body so XLA still interleaves
+    # two pairs (most of the unrolled mode's overlap win at 1/4 the size).
+    FUSE_MODE = cli.fuse_mode or ("scan" if cli.regime == "reduced"
+                                  else "unroll")
+    UNROLL = max(1, cli.unroll)
 
     @partial(jax.jit, static_argnames=())
     def run_idxk(keysK, idxs, *st):
@@ -284,6 +307,20 @@ def main():
         # tunnel costs a ~30-40 ms round-trip, so K separate 4x4 results
         # would add ~K x 35 ms per launch to the drain
         return jnp.stack(outs)
+
+    @partial(jax.jit, static_argnames=())
+    def run_scan(keysN, idxs, *st):
+        def body(_, ki):
+            k, i = ki
+            sliced = [jax.lax.dynamic_index_in_dim(a, i, keepdims=False)
+                      for a in st]
+            T = register_pair_e2e(params, state, arch, caps, cfg, k,
+                                  *sliced)[1]
+            return None, T
+
+        _, Ts = jax.lax.scan(body, None,
+                             (keysN, idxs), unroll=UNROLL)
+        return Ts
 
     def run_pair_i(i, key):
         return run_idx(key, jnp.int32(i), *stacked)
@@ -318,13 +355,20 @@ def main():
 
     # warmup / compile. At the 50k reference point dispatch latency is <2%
     # of the ~0.9 s/pair device time, so pairs go one-at-a-time there.
-    use_fuse = FUSE_K > 1
+    use_fuse = FUSE_K > 1 or FUSE_MODE == "scan"
     n = len(pairs)
     # per-pair keys in ONE device op — an eager split per pair costs a
     # full tunnel round-trip (~40-80 ms) and would dominate the loop
     keys = jax.random.split(key, n)
     jax.block_until_ready(keys)
-    if use_fuse:
+    all_idx = jnp.asarray(np.arange(n), jnp.int32)
+    if FUSE_MODE == "scan":
+        t0 = time.time()
+        outs = run_scan(keys, all_idx, *stacked)
+        jax.block_until_ready(outs)
+        log(f"compile scan-unroll{UNROLL} + full suite: "
+            f"{time.time()-t0:.1f}s")
+    elif use_fuse:
         t0 = time.time()
         warm_idx = jnp.asarray(np.arange(FUSE_K) % n, jnp.int32)
         outs = run_idxk(keys[:FUSE_K], warm_idx, *stacked)
@@ -346,7 +390,9 @@ def main():
     # one padded launch beats several single launches at ~160 ms fixed
     # dispatch each.
     t0 = time.time()
-    if use_fuse:
+    if FUSE_MODE == "scan":
+        Ts_out = list(np.asarray(run_scan(keys, all_idx, *stacked)))
+    elif use_fuse:
         launches = []
         for b in range(0, n, FUSE_K):
             idxs = np.arange(b, b + FUSE_K) % n
