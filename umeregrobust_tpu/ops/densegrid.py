@@ -121,10 +121,9 @@ def build_dense_grid(
                      dims=tuple(dims))
 
 
-def _window_positions(runs, origin, queries, N, budget, cell, dims):
-    """(M, 9*budget) rows into points_sorted covering the 9 (dx, dy)
-    3-z-cell windows around each query; empty slots at N (the FAR row)."""
-    M = queries.shape[0]
+def _window_starts(runs, origin, queries, N, cell, dims):
+    """Per-query (start, end) of the 9 (dx, dy) 3-z-cell windows over the
+    sorted order: both (M, 9) int32; start = N for empty windows."""
     Dx, Dy, Dz = dims
     C = Dx * Dy * Dz
 
@@ -154,7 +153,29 @@ def _window_positions(runs, origin, queries, N, budget, cell, dims):
     s3, e3 = run_bounds(zspan)
     s = jnp.min(s3, axis=-1)  # (M, 9) start=N for empty windows
     e = jnp.max(e3, axis=-1)
+    return s, e
 
+
+def _wide_table(points_sorted, budget):
+    """(N+1, budget, 3) table: row j = points_sorted[j .. j+budget-1] with
+    FAR rows past the array end. Built from `budget` shifted contiguous
+    slices — no gathers — so a window read becomes ONE wide row gather
+    instead of `budget` narrow ones (narrow gathers cost ~3 cycles/row on
+    v5e regardless of width; this is the same trick as the grouped conv's
+    centered window table, ops/sparse.sparse_conv_grouped)."""
+    N1 = points_sorted.shape[0]
+    far = jnp.full((budget - 1, 3), jnp.float32(_FAR))
+    ext = jnp.concatenate([points_sorted, far], axis=0)
+    return jnp.stack([ext[k:N1 + k] for k in range(budget)], axis=1)
+
+
+def _window_positions(runs, origin, queries, N, budget, cell, dims):
+    """(M, 9*budget) rows into points_sorted covering the 9 (dx, dy)
+    3-z-cell windows around each query; empty slots at N (the FAR row).
+    Kept for callers that need explicit positions; the hot paths use the
+    wide-table gather instead."""
+    M = queries.shape[0]
+    s, e = _window_starts(runs, origin, queries, N, cell, dims)
     j = jnp.arange(budget, dtype=jnp.int32)[None, None, :]
     pos = s[..., None] + j  # (M, 9, budget)
     pos = jnp.where((pos < e[..., None]), pos, N)  # N -> FAR sentinel row
@@ -163,9 +184,19 @@ def _window_positions(runs, origin, queries, N, budget, cell, dims):
 
 @partial(jax.jit, static_argnames=("budget", "cell", "dims"))
 def _candidates(points_sorted, runs, origin, queries, budget, cell, dims):
+    """(M, 9*budget, 3) candidates via 9 WIDE gathers per query.
+
+    Slots past a window's end hold real rows from subsequent cells rather
+    than FAR padding — harmless: with search radius <= cell, any point
+    within radius lies in one of the 27 neighbor cells, so every in-radius
+    beyond-window candidate is a duplicate of a slot in another of the 9
+    windows, and out-of-radius extras are dropped by the callers' radius
+    filter. Exactness is unchanged (tests/test_pipeline_ops.py vs brute
+    force)."""
     N = points_sorted.shape[0] - 1
-    pos = _window_positions(runs, origin, queries, N, budget, cell, dims)
-    return points_sorted[pos]
+    s, _ = _window_starts(runs, origin, queries, N, cell, dims)
+    W = _wide_table(points_sorted, budget)
+    return W[s].reshape(queries.shape[0], -1, 3)
 
 
 def dense_candidates(grid: "DenseGrid", queries: jnp.ndarray,
@@ -188,13 +219,16 @@ def _query(points_sorted, order, runs, origin, queries, q_mask,
     M = queries.shape[0]
     N = order.shape[0]
     r2 = jnp.float32(radius) ** 2
-    pos = _window_positions(runs, origin, queries, N, budget, cell, dims)
-    cand = points_sorted[pos]  # (M, 9*budget, 3)
+    s, _ = _window_starts(runs, origin, queries, N, cell, dims)
+    W = _wide_table(points_sorted, budget)
+    cand = W[s].reshape(M, -1, 3)  # (M, 9*budget, 3), see _candidates
     d2 = jnp.sum((queries[:, None, :] - cand) ** 2, axis=-1)
     d2 = jnp.where(d2 <= r2, d2, jnp.float32(1e30))
     k = jnp.argmin(d2, axis=-1)
     bd2 = jnp.take_along_axis(d2, k[:, None], axis=-1)[:, 0]
-    bpos = jnp.take_along_axis(pos, k[:, None], axis=-1)[:, 0]
+    # winner's sorted position = its window's start + in-window slot
+    sw = jnp.take_along_axis(s, (k // budget)[:, None], axis=-1)[:, 0]
+    bpos = sw + k % budget
     hit = (bd2 < 1e29) & q_mask
     bidx = jnp.where(hit, order[jnp.minimum(bpos, N - 1)], jnp.int32(-1))
     return jnp.sqrt(jnp.maximum(jnp.where(hit, bd2, 0.0), 0.0)), bidx
