@@ -71,6 +71,9 @@ def main():
                     help="ablation: multires-stage ICP sub-iterations")
     ap.add_argument("--coarse-src", type=int, default=0,
                     help="ablation: correlator coarse-stage source rows")
+    ap.add_argument("--consensus", type=int, default=-1,
+                    help="consensus candidates (0 disables, -1 keeps the "
+                         "RegistrationConfig default)")
     ap.add_argument("--rescore-top", type=int, default=0,
                     help="ablation: exact-rescore hypothesis count")
     ap.add_argument("--fuse", type=int, default=0,
@@ -165,7 +168,7 @@ def main():
         RAW_CAP = 20480
     if (cli.corr_mode or cli.hyps or cli.kpts or cli.filter_mode
             or cli.triage >= 0 or cli.icp_iter or cli.coarse_src
-            or cli.rescore_top or cli.mr_iter):
+            or cli.rescore_top or cli.mr_iter or cli.consensus >= 0):
         from dataclasses import replace
         kw = {}
         if cli.corr_mode:
@@ -186,6 +189,8 @@ def main():
             kw["corr_coarse_src"] = cli.coarse_src
         if cli.rescore_top:
             kw["corr_rescore_top"] = cli.rescore_top
+        if cli.consensus >= 0:
+            kw["consensus_cands"] = cli.consensus
         cfg = replace(cfg, **kw)
         log(f"ablation overrides: {kw}")
     ckpt = cli.ckpt or os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--hyps", type=int, default=0)
     ap.add_argument("--regime", default="verylow")
     ap.add_argument("--pairs", type=int, default=7)
+    ap.add_argument("--corr-mode", choices=("radius", "knn"), default="")
     cli = ap.parse_args()
 
     import jax
@@ -60,7 +61,8 @@ def main():
     cfg = RegistrationConfig(
         num_init_keypoints=2048, ume_n_samples=cli.hyps or 2048,
         corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=16,
-        icp_max_corr=0.4, icp_max_iter=60, icp_coarse_corr=None)
+        icp_max_corr=0.4, icp_max_iter=60, icp_coarse_corr=None,
+        **(dict(corr_mode=cli.corr_mode) if cli.corr_mode else {}))
     scene_kw = dict(extent=25.0, ground_points=12000, structure_points=24000)
 
     blob = load_checkpoint(os.path.join(

@@ -303,6 +303,8 @@ def select_best_transform(
     triage_src: Optional[int] = None,
     triage_tgt: Optional[int] = None,
     triage_top: int = 512,
+    extra_Ts: Optional[jnp.ndarray] = None,
+    prepared: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full hypothesis test: weight features, score all Ts, return
     (best_T, scores).
@@ -323,12 +325,27 @@ def select_best_transform(
     coarse stage's top-`rescore_top` — so a large hypothesis budget (the
     recall lever on low-overlap pairs) costs ~the triage pass instead of
     a proportional coarse pass.
+
+    extra_Ts ((V, 4, 4), optional): out-of-band candidates (e.g. the
+    consensus-refit modes, pipeline/consensus.py) scored at EXACT
+    resolution alongside the cascade's finalists — they bypass triage and
+    the coarse stage, so a candidate the cheap stages would misrank still
+    reaches the arbiter. The returned `scores` stay indexed by Ts rows
+    (extras only influence best_T).
+
+    prepared=True: src_feat/tgt_feat already ARE the weighted features
+    (prepare_weighted_features output) — callers that also score out of
+    band (the consensus arbiter, pipeline/registration.py) prepare once
+    and share.
     """
     # the fast path pairs the radius cap with approximate var-knn weights;
     # mode='knn' keeps both reference-exact
-    fs, ft = prepare_weighted_features(
-        src_pts, src_feat, src_mask, tgt_pts, tgt_feat, tgt_mask,
-        var_knn=var_knn, approx_var=(mode == "radius"))
+    if prepared:
+        fs, ft = src_feat, tgt_feat
+    else:
+        fs, ft = prepare_weighted_features(
+            src_pts, src_feat, src_mask, tgt_pts, tgt_feat, tgt_mask,
+            var_knn=var_knn, approx_var=(mode == "radius"))
     H = Ts.shape[0]
     full_idx = None  # maps working hypotheses back to rows of Ts
     if (triage_src is not None and triage_src < src_pts.shape[0]
@@ -363,15 +380,22 @@ def select_best_transform(
             Ts, knn_k=knn_k, sigma=sigma, chunk=min(1024, coarse_src))
         _, top_idx = jax.lax.top_k(coarse, rescore_top)
         Ts_top = Ts[top_idx]
+        if extra_Ts is not None:
+            Ts_top = jnp.concatenate([Ts_top, extra_Ts], axis=0)
         fine = _score(mode, src_pts, fs, src_mask, tgt_pts, ft, tgt_mask,
                       Ts_top, knn_k=knn_k, sigma=sigma)
         best = jnp.argmax(fine)
         out_idx = top_idx if full_idx is None else full_idx[top_idx]
-        scores = jnp.full((H,), -jnp.inf).at[out_idx].set(fine)
+        scores = jnp.full((H,), -jnp.inf).at[out_idx].set(
+            fine[: top_idx.shape[0]])
         return Ts_top[best], scores
-    scores = _score(mode, src_pts, fs, src_mask, tgt_pts, ft, tgt_mask, Ts,
-                    knn_k=knn_k, sigma=sigma)
-    best_T = Ts[jnp.argmax(scores)]
+    n_main = Ts.shape[0]
+    Ts_all = (jnp.concatenate([Ts, extra_Ts], axis=0)
+              if extra_Ts is not None else Ts)
+    scores_all = _score(mode, src_pts, fs, src_mask, tgt_pts, ft, tgt_mask,
+                        Ts_all, knn_k=knn_k, sigma=sigma)
+    best_T = Ts_all[jnp.argmax(scores_all)]
+    scores = scores_all[:n_main]
     if full_idx is not None:
         scores = jnp.full((H,), -jnp.inf).at[full_idx].set(scores)
     return best_T, scores

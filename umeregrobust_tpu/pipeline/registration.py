@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from umeregrobust_tpu.core.ume import estimate_rigid_from_ume
 from umeregrobust_tpu.ops.neighbors import knn
-from umeregrobust_tpu.pipeline.correlator import select_best_transform
+from umeregrobust_tpu.pipeline.correlator import (
+    prepare_weighted_features, select_best_transform)
 from umeregrobust_tpu.pipeline.icp import icp_point_to_point  # noqa: F401  (re-exported for callers)
 from umeregrobust_tpu.pipeline.matching import argmin_match, probabilistic_match_filter
 from umeregrobust_tpu.pipeline.ume_gen import ume_from_ball_query
@@ -75,6 +76,22 @@ class RegistrationConfig:
     # 'radius' is the MXU-native fast path (~500x faster hypothesis scoring
     # than the kNN-20 cap on TPU); 'knn' reproduces the reference exactly.
     corr_mode: str = "radius"
+    # match-consensus rescue (pipeline/consensus.py): vote over the match
+    # set, NMS-select consensus_cands distinct SE(3) modes, IRLS-refit each
+    # over its voters, mini-ICP-polish them (plus the cascade winner), and
+    # arbitrate by STRUCTURE-ONLY exact correlation (ground points are
+    # "aligned" under any plane-preserving wrong transform, so only
+    # structure discriminates at low overlap). Diagnosed win: verylow-
+    # regime pairs where single-match hypotheses are 0.5-1.6 m off and
+    # kernel correlation prefers wrong modes that overlay the two scans'
+    # dense near-sensor cores (tools/diag_consensus.py: 6/7 failed pairs
+    # recovered). 0 = off (reference parity).
+    consensus_cands: int = 32
+    consensus_tau: float = 2.0
+    consensus_nms_rot_deg: float = 15.0
+    consensus_nms_trans: float = 5.0
+    consensus_polish_rows: int = 512
+    consensus_struct_cap: int = 2048
     icp_max_corr: float = 0.2
     icp_max_iter: int = 200
     # optional coarse-to-fine: a first ICP stage at a larger correspondence
@@ -285,15 +302,53 @@ def _hypotheses_and_select(
     # reference call order: G=src, H=tgt -> T maps src into tgt
     Ts, _ = estimate_rigid_from_ume(G, H, compute_distance=False)
 
+    use_cons = cfg.consensus_cands > 0
+    if use_cons:
+        # prepare once; shared by the cascade and the consensus arbiter
+        fs_w, ft_w = prepare_weighted_features(
+            corr_src_pts, corr_src_feat, corr_src_mask,
+            corr_tgt_pts, corr_tgt_feat, corr_tgt_mask,
+            var_knn=cfg.corr_var_knn, approx_var=(cfg.corr_mode == "radius"))
+    else:
+        fs_w, ft_w = corr_src_feat, corr_tgt_feat
+
     best_T, scores = select_best_transform(
-        corr_src_pts, corr_src_feat, corr_src_mask,
-        corr_tgt_pts, corr_tgt_feat, corr_tgt_mask,
+        corr_src_pts, fs_w, corr_src_mask,
+        corr_tgt_pts, ft_w, corr_tgt_mask,
         Ts, sigma=cfg.corr_kernel_sigma, knn_k=cfg.corr_knn,
         var_knn=cfg.corr_var_knn, coarse_src=cfg.corr_coarse_src,
         coarse_tgt=cfg.corr_coarse_tgt,
         rescore_top=cfg.corr_rescore_top, key=k_corr, mode=cfg.corr_mode,
         triage_src=cfg.corr_triage_src, triage_tgt=cfg.corr_triage_tgt,
-        triage_top=cfg.corr_triage_top)
+        triage_top=cfg.corr_triage_top, prepared=use_cons)
+
+    if use_cons:
+        from umeregrobust_tpu.pipeline.consensus import (
+            compact_structure, consensus_refit, polish_candidates)
+        from umeregrobust_tpu.pipeline.correlator import _score
+
+        pair_ok = src_kp_ok[keep] & (d[keep] < jnp.float32(1e5))
+        cand = consensus_refit(
+            Ts, src_kp[keep], tgt_kp[jnp.maximum(m[keep], 0)], pair_ok,
+            tau=cfg.consensus_tau, n_cand=cfg.consensus_cands,
+            nms_rot_deg=cfg.consensus_nms_rot_deg,
+            nms_trans=cfg.consensus_nms_trans)
+        # the cascade winner competes under the same polish + arbiter
+        cand = jnp.concatenate([cand, best_T[None]], axis=0)
+        rows = cfg.consensus_polish_rows
+        pol = polish_candidates(cand, corr_src_pts[:rows],
+                                corr_src_mask[:rows],
+                                corr_tgt_pts, corr_tgt_mask)
+        cap = min(cfg.consensus_struct_cap, corr_src_pts.shape[0])
+        sp_c, sf_c, sm_c = compact_structure(
+            corr_src_pts, fs_w, corr_src_mask, cap)
+        tp_c, tf_c, tm_c = compact_structure(
+            corr_tgt_pts, ft_w, corr_tgt_mask,
+            min(cfg.consensus_struct_cap, corr_tgt_pts.shape[0]))
+        s_struct = _score(cfg.corr_mode, sp_c, sf_c, sm_c, tp_c, tf_c, tm_c,
+                          pol, knn_k=cfg.corr_knn,
+                          sigma=cfg.corr_kernel_sigma)
+        best_T = pol[jnp.argmax(s_struct)]
     return best_T, Ts, scores
 
 
