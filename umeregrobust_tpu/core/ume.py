@@ -123,7 +123,8 @@ def ume_distance(ume1: jnp.ndarray, ume2: jnp.ndarray) -> jnp.ndarray:
 
 
 def estimate_rigid_from_ume(
-    G: jnp.ndarray, H: jnp.ndarray, compute_distance: bool = True
+    G: jnp.ndarray, H: jnp.ndarray, compute_distance: bool = True,
+    sweeps: int = 6,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closed-form rigid transform from matched UME pairs.
 
@@ -138,6 +139,12 @@ def estimate_rigid_from_ume(
     Returns:
       T: (B, 4, 4) rigid transforms.
       D: (B,) matched subspace distances (0.707 * |P_H - P_G|_F).
+
+    sweeps: Jacobi sweeps of the quaternion eigensolver. 6 is exact to
+    fp32; 3 deviates <= 0.13 deg even on adversarial covariances
+    (tools/profile_kabsch.py validation) at ~half the cost — the
+    hypothesis path (2048-batch, ~7.6 ms at 6 sweeps on v5e) uses 3, the
+    training losses keep 6.
     """
     G = G.astype(jnp.float32)
     H = H.astype(jnp.float32)
@@ -163,7 +170,7 @@ def estimate_rigid_from_ume(
     # lowers to scalar loops on TPU.
     Hcov = jnp.matmul(jnp.swapaxes(left, -1, -2), right,
                       precision=jax.lax.Precision.HIGHEST)  # (B,3,3)
-    R = kabsch_rotation(Hcov)  # (B,3,3), maps source moments onto target
+    R = kabsch_rotation(Hcov, sweeps=sweeps)  # (B,3,3), src->tgt moments
     with jax.default_matmul_precision("highest"):
         b2 = wrc - wlc @ jnp.swapaxes(R, -1, -2)  # (B,1,3) translation row
 

@@ -90,8 +90,19 @@ class RegistrationConfig:
     consensus_tau: float = 2.0
     consensus_nms_rot_deg: float = 15.0
     consensus_nms_trans: float = 5.0
-    consensus_polish_rows: int = 512
+    # polish cost is ~linear in rows x len(radii) x inner (the refit
+    # candidates start <= ~1.6 m off, so stage 1 at radius 1.0 pulls them
+    # in and one 0.45 m stage snaps near-GT modes to cm — measured
+    # equivalent arbitration to the original (1.0, 0.6, 0.35) x 512-row
+    # schedule at ~1/3 the device time, tools/profile_polish.py)
+    consensus_polish_rows: int = 256
+    consensus_polish_radii: Tuple[float, ...] = (1.0, 0.45)
+    consensus_polish_inner: int = 4
     consensus_struct_cap: int = 2048
+    # Jacobi sweeps of the quaternion Kabsch eigensolver in the 2048-batch
+    # hypothesis estimator: 3 deviates <= 0.13 deg from the exact solution
+    # (core/ume.estimate_rigid_from_ume docstring) at half the cost.
+    estimator_sweeps: int = 3
     icp_max_corr: float = 0.2
     icp_max_iter: int = 200
     # optional coarse-to-fine: a first ICP stage at a larger correspondence
@@ -300,7 +311,8 @@ def _hypotheses_and_select(
     G = ume_src[keep]  # matched source UMEs
     H = ume_tgt[jnp.maximum(m[keep], 0)]  # matched target UMEs
     # reference call order: G=src, H=tgt -> T maps src into tgt
-    Ts, _ = estimate_rigid_from_ume(G, H, compute_distance=False)
+    Ts, _ = estimate_rigid_from_ume(G, H, compute_distance=False,
+                                    sweeps=cfg.estimator_sweeps)
 
     use_cons = cfg.consensus_cands > 0
     if use_cons:
@@ -338,7 +350,9 @@ def _hypotheses_and_select(
         rows = cfg.consensus_polish_rows
         pol = polish_candidates(cand, corr_src_pts[:rows],
                                 corr_src_mask[:rows],
-                                corr_tgt_pts, corr_tgt_mask)
+                                corr_tgt_pts, corr_tgt_mask,
+                                radii=cfg.consensus_polish_radii,
+                                inner=cfg.consensus_polish_inner)
         cap = min(cfg.consensus_struct_cap, corr_src_pts.shape[0])
         sp_c, sf_c, sm_c = compact_structure(
             corr_src_pts, fs_w, corr_src_mask, cap)
@@ -436,7 +450,8 @@ def _select_from_matches(
 ):
     G = ume_src[m_src]
     H = ume_tgt[m_tgt]
-    Ts, _ = estimate_rigid_from_ume(G, H, compute_distance=False)
+    Ts, _ = estimate_rigid_from_ume(G, H, compute_distance=False,
+                                    sweeps=cfg.estimator_sweeps)
     best_T, scores = select_best_transform(
         corr_src_pts, corr_src_feat, corr_src_mask,
         corr_tgt_pts, corr_tgt_feat, corr_tgt_mask,
