@@ -114,7 +114,7 @@ def main():
     grid = build_dense_grid(jnp.asarray(tcp), jnp.asarray(tcm), cell=0.4,
                             dims=(384, 384, 96))
     arrays = (grid.points, grid.points_sorted, grid.order, grid.runs,
-              grid.origin, grid.overflow)
+              grid.origin, grid.overflow, grid.wstart)
 
     def f_icp(src, smask, T0):
         T, rmse, fit, it = _icp_loop(src, smask, arrays, T0, 0.4, 60, 32,

@@ -238,7 +238,7 @@ def main():
     grid = build_dense_grid(tgt["corr_pts"], tgt["corr_mask"],
                             cell=cfg.icp_max_corr, dims=DEFAULT_DIMS)
     arrays = (grid.points, grid.points_sorted, grid.order, grid.runs,
-              grid.origin, grid.overflow)
+              grid.origin, grid.overflow, grid.wstart)
     T0 = jnp.asarray(pair["gt_tform"], jnp.float32)  # converges fast: lower bound
     Tfar = T0.at[:3, 3].add(0.3)
 

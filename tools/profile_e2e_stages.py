@@ -121,7 +121,7 @@ def main():
                                                dims=DEFAULT_DIMS))
     grid = timeit("icp build_dense_grid (4k)", grid_fn)
     arrays = (grid.points, grid.points_sorted, grid.order, grid.runs,
-              grid.origin, grid.overflow)
+              grid.origin, grid.overflow, grid.wstart)
     icp_fn = jax.jit(lambda T: _icp_loop(cpts, cmask, arrays, T, 0.4, 60, 8,
                                          DEFAULT_DIMS)[0])
     timeit("icp 60 iters (4k, budget 8)", icp_fn, jnp.eye(4))

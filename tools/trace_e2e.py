@@ -46,9 +46,10 @@ def main():
     SEM_CAP, CORR_CAP = 16384, 4096
     arch = ARCHS["ResUNetSmall2"]
     caps = (SEM_CAP, 12288, 6144, 3072, 1024)
+    # mirror bench.py's reduced-regime cfg exactly
     cfg = RegistrationConfig(
         num_init_keypoints=2048, ume_n_samples=args.hyps,
-        corr_coarse_src=1024, corr_coarse_tgt=1024, corr_rescore_top=32,
+        corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=16,
         icp_max_corr=0.4, icp_max_iter=60, icp_coarse_corr=None,
         icp_budget=32)
 

@@ -187,7 +187,7 @@ def icp_point_to_point(
         dims = DEFAULT_DIMS
     grid = build_dense_grid(tgt, tgt_mask, cell=max_corr, dims=dims)
     arrays = (grid.points, grid.points_sorted, grid.order, grid.runs,
-              grid.origin, grid.overflow)
+              grid.origin, grid.overflow, grid.wstart)
     T, rmse, fit, _ = _icp_loop(src, src_mask, arrays, init_T,
                                 float(max_corr), int(max_iter), int(budget),
                                 tuple(dims))

@@ -220,7 +220,7 @@ def refine_with_icp(
     def grid_arrays(pts, mask, cell):
         g = build_dense_grid(pts, mask, cell=cell, dims=dims)
         return (g.points, g.points_sorted, g.order, g.runs, g.origin,
-                g.overflow)
+                g.overflow, g.wstart)
 
     stages = []
     if cfg.icp_coarse_corr is not None:
