@@ -165,6 +165,28 @@ def main():
             s = scopes.setdefault(stage, [0.0, 0])
             s[0] += dur
             s[1] += 1
+    # aggregate by the op's SOURCE line (args['source'] carries file:line
+    # for every device op) — the most actionable attribution; note parent
+    # control-flow ops (while/fusion wrappers) and their body ops both
+    # carry time, so subsystem sums double-count nesting.
+    by_src = {}
+    for e in evs:
+        if e.get("ph") != "X":
+            continue
+        a = e.get("args") or {}
+        dur = a.get("device_duration_ps")
+        if dur is None or e.get("name", "").startswith("jit_"):
+            continue
+        ms = int(dur) / 1e9
+        src = a.get("source", "?").replace("/root/repo/", "")
+        s = by_src.setdefault(src, [0.0, 0])
+        s[0] += ms
+        s[1] += 1
+    print("\nby source line (device_duration; nesting double-counts):")
+    for src, (ms, c) in sorted(by_src.items(), key=lambda x: -x[1][0])[:30]:
+        print(f"{ms/args.reps:9.3f} ms  x{c//max(args.reps,1):<5d} {src}",
+              flush=True)
+
     print(f"\ndevice total: {total:.2f} ms over {args.reps} reps "
           f"({total/args.reps:.2f} ms/run)\n")
     if len(scopes) > 1:
