@@ -148,7 +148,12 @@ def main():
         RAW_CAP = 49152
     else:
         SEM_CAP, CORR_CAP = 16384, 4096
-        caps = (SEM_CAP, 12288, 6144, 3072, 1024)
+        # per-cloud level capacities (fused pipeline doubles them): sized
+        # 1.15-1.9x the max FUSED occupancy measured over all 28 bench
+        # pairs ([30318, 17803, 6832, 1979, 266] at strides 1/2/4/8/24) —
+        # the old s^1.5 heuristic left L3/L4 at 30%/13% occupancy and the
+        # forward/geometry time scales with capacity, not content
+        caps = (SEM_CAP, 10240, 4096, 1280, 256)
         N_PER_REGIME = cli.pairs_per_regime or 7
         # ume_n_samples 2048 + the 256-row triage cascade: 100% NP/SP on
         # all three original regimes at ~-8% throughput vs 512 hyps

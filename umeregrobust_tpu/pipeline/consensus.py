@@ -207,7 +207,7 @@ def polish_candidates(
                 cq = jnp.sum(q * w[:, None], axis=0) / wsum
                 Hm = ((src_t - cp) * wn).T @ jnp.where(
                     ok[:, None], q - cq, 0.0)
-                Rd = kabsch_rotation(Hm[None])[0]
+                Rd = kabsch_rotation(Hm[None], sweeps=3)[0]
                 td = cq - Rd @ cp
                 dT = jnp.eye(4, dtype=jnp.float32)
                 dT = dT.at[:3, :3].set(Rd).at[:3, 3].set(td)

@@ -51,6 +51,7 @@ def feature_spatial_var(
     mask: jnp.ndarray,
     k: int = 50,
     approx: bool = False,
+    anchors: Optional[int] = None,
 ) -> jnp.ndarray:
     """Mean feature-difference norm over the k-1 nearest neighbors
     (self excluded), reference utils/loc_utils.py:579-585 with knn=50.
@@ -58,7 +59,26 @@ def feature_spatial_var(
     approx=True uses the TPU approximate top-k for the neighbor search —
     the weight is a statistical smoothness measure, so a ~3% chance of a
     slightly-farther substitute neighbor perturbs it negligibly (measured:
-    0 winner flips in 200 adversarial near-tie trials, EXPERIMENTS.md E2)."""
+    0 winner flips in 200 adversarial near-tie trials, EXPERIMENTS.md E2).
+
+    anchors=M (< N): compute the weight exactly on the first M rows only
+    (callers fill clouds in randomized order, so they are a uniform
+    anchor subsample) and transfer it to every point by nearest anchor —
+    the weight field is spatially smooth by construction (a k-NN MEAN),
+    so nearest-anchor interpolation preserves it; the top-k then runs on
+    M rows instead of N (the per-pair prepare stage was ~8 ms of top_k at
+    bench sizes, trace_e2e). Recall-gated on the hardened bench like
+    every fast-path divergence."""
+    if anchors is not None and anchors < pts.shape[0]:
+        a_pts, a_mask = pts[:anchors], mask[:anchors]
+        _, idx = knn(a_pts, pts, K=k, q_mask=a_mask, p_mask=mask,
+                     approx=approx)
+        nbr_feat = gather_padded(feat, idx[:, 1:])  # (M, k-1, C)
+        diff = feat[:anchors, None, :] - nbr_feat
+        w_a = jnp.mean(jnp.linalg.norm(diff, axis=-1), axis=-1) * a_mask
+        d2 = pairwise_sqdist(pts, a_pts)
+        d2 = jnp.where(a_mask[None, :], d2, jnp.float32(1e30))
+        return w_a[jnp.argmin(d2, axis=-1)] * mask
     _, idx = knn(pts, pts, K=k, q_mask=mask, p_mask=mask, approx=approx)
     nbr_feat = gather_padded(feat, idx[:, 1:])  # (N, k-1, C), drop self
     diff = feat[:, None, :] - nbr_feat
@@ -74,6 +94,7 @@ def prepare_weighted_features(
     tgt_mask: jnp.ndarray,
     var_knn: int = 50,
     approx_var: bool = False,
+    var_anchors: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mean-center (joint mean) and spatial-variance-weight both feature
     sets (reference utils/loc_utils.py:660-664)."""
@@ -81,9 +102,9 @@ def prepare_weighted_features(
     f_all = jnp.concatenate([src_feat, tgt_feat], axis=0)
     m = jnp.sum(f_all * m_all[:, None], axis=0) / jnp.maximum(jnp.sum(m_all), 1.0)
     w_src = feature_spatial_var(src_pts, src_feat, src_mask, k=var_knn,
-                                approx=approx_var)
+                                approx=approx_var, anchors=var_anchors)
     w_tgt = feature_spatial_var(tgt_pts, tgt_feat, tgt_mask, k=var_knn,
-                                approx=approx_var)
+                                approx=approx_var, anchors=var_anchors)
     fs = (src_feat - m) * w_src[:, None] * src_mask[:, None]
     ft = (tgt_feat - m) * w_tgt[:, None] * tgt_mask[:, None]
     return fs, ft
@@ -305,6 +326,7 @@ def select_best_transform(
     triage_top: int = 512,
     extra_Ts: Optional[jnp.ndarray] = None,
     prepared: bool = False,
+    var_anchors: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full hypothesis test: weight features, score all Ts, return
     (best_T, scores).
@@ -345,7 +367,8 @@ def select_best_transform(
     else:
         fs, ft = prepare_weighted_features(
             src_pts, src_feat, src_mask, tgt_pts, tgt_feat, tgt_mask,
-            var_knn=var_knn, approx_var=(mode == "radius"))
+            var_knn=var_knn, approx_var=(mode == "radius"),
+            var_anchors=(var_anchors if mode == "radius" else None))
     H = Ts.shape[0]
     full_idx = None  # maps working hypotheses back to rows of Ts
     if (triage_src is not None and triage_src < src_pts.shape[0]

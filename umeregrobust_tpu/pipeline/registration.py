@@ -61,6 +61,12 @@ class RegistrationConfig:
     corr_kernel_sigma: float = 1.5
     corr_knn: int = 20
     corr_var_knn: int = 50
+    # fast-path-only (mode='radius'): compute the var-knn weight exactly
+    # on this many anchor rows and nearest-anchor-transfer it (the weight
+    # field is a k-NN mean, spatially smooth) — the full-cloud top-k was
+    # ~8 ms/pair of the prepare stage. None = per-point weights
+    # (reference parity; always used in mode='knn').
+    corr_var_anchors: Optional[int] = 1024
     corr_coarse_src: Optional[int] = 1024  # None => exact single-stage
     corr_coarse_tgt: Optional[int] = None  # subsample tgt in the coarse pass
     corr_rescore_top: int = 64
@@ -86,7 +92,10 @@ class RegistrationConfig:
     # kernel correlation prefers wrong modes that overlay the two scans'
     # dense near-sensor cores (tools/diag_consensus.py: 6/7 failed pairs
     # recovered). 0 = off (reference parity).
-    consensus_cands: int = 32
+    # 16 candidates arbitrate identically to 32 on the hardened suite
+    # (BENCH_NOTES_r3 ablation: recall byte-identical, +0.5 pairs/s) —
+    # NMS vote modes beyond the top 16 never win the structure arbiter.
+    consensus_cands: int = 16
     consensus_tau: float = 2.0
     consensus_nms_rot_deg: float = 15.0
     consensus_nms_trans: float = 5.0
@@ -320,7 +329,9 @@ def _hypotheses_and_select(
         fs_w, ft_w = prepare_weighted_features(
             corr_src_pts, corr_src_feat, corr_src_mask,
             corr_tgt_pts, corr_tgt_feat, corr_tgt_mask,
-            var_knn=cfg.corr_var_knn, approx_var=(cfg.corr_mode == "radius"))
+            var_knn=cfg.corr_var_knn, approx_var=(cfg.corr_mode == "radius"),
+            var_anchors=(cfg.corr_var_anchors
+                         if cfg.corr_mode == "radius" else None))
     else:
         fs_w, ft_w = corr_src_feat, corr_tgt_feat
 
@@ -332,7 +343,8 @@ def _hypotheses_and_select(
         coarse_tgt=cfg.corr_coarse_tgt,
         rescore_top=cfg.corr_rescore_top, key=k_corr, mode=cfg.corr_mode,
         triage_src=cfg.corr_triage_src, triage_tgt=cfg.corr_triage_tgt,
-        triage_top=cfg.corr_triage_top, prepared=use_cons)
+        triage_top=cfg.corr_triage_top, prepared=use_cons,
+        var_anchors=cfg.corr_var_anchors)
 
     if use_cons:
         from umeregrobust_tpu.pipeline.consensus import (
@@ -460,7 +472,8 @@ def _select_from_matches(
         coarse_tgt=cfg.corr_coarse_tgt,
         rescore_top=cfg.corr_rescore_top, key=key, mode=cfg.corr_mode,
         triage_src=cfg.corr_triage_src, triage_tgt=cfg.corr_triage_tgt,
-        triage_top=cfg.corr_triage_top)
+        triage_top=cfg.corr_triage_top,
+        var_anchors=cfg.corr_var_anchors)
     return best_T, scores
 
 
