@@ -71,6 +71,10 @@ def main():
                     help="ablation: multires-stage ICP sub-iterations")
     ap.add_argument("--coarse-src", type=int, default=0,
                     help="ablation: correlator coarse-stage source rows")
+    ap.add_argument("--coarse-tgt", type=int, default=0,
+                    help="ablation: correlator coarse-stage target rows")
+    ap.add_argument("--triage-tgt", type=int, default=0,
+                    help="ablation: correlator triage-stage target rows")
     ap.add_argument("--consensus", type=int, default=-1,
                     help="consensus candidates (0 disables, -1 keeps the "
                          "RegistrationConfig default)")
@@ -173,7 +177,8 @@ def main():
         RAW_CAP = 20480
     if (cli.corr_mode or cli.hyps or cli.kpts or cli.filter_mode
             or cli.triage >= 0 or cli.icp_iter or cli.coarse_src
-            or cli.rescore_top or cli.mr_iter or cli.consensus >= 0):
+            or cli.rescore_top or cli.mr_iter or cli.consensus >= 0
+            or cli.coarse_tgt or cli.triage_tgt):
         from dataclasses import replace
         kw = {}
         if cli.corr_mode:
@@ -192,6 +197,10 @@ def main():
             kw["icp_multires_iter"] = cli.mr_iter
         if cli.coarse_src:
             kw["corr_coarse_src"] = cli.coarse_src
+        if cli.coarse_tgt:
+            kw["corr_coarse_tgt"] = cli.coarse_tgt
+        if cli.triage_tgt:
+            kw["corr_triage_tgt"] = cli.triage_tgt
         if cli.rescore_top:
             kw["corr_rescore_top"] = cli.rescore_top
         if cli.consensus >= 0:

@@ -358,3 +358,56 @@ class TestDenseGrid:
         dist, idx = dense_nn_query(grid, jnp.array(p[1:2]), radius=0.5)
         if int(idx[0]) >= 0:
             assert int(idx[0]) != 1
+
+
+class TestVarAnchors:
+    """Anchor-transferred spatial-variance weights (correlator
+    feature_spatial_var anchors=M): exact on anchor rows, nearest-anchor
+    everywhere else, and a no-op when M >= N."""
+
+    def test_anchor_weights_match_nearest_anchor(self, rng):
+        from umeregrobust_tpu.pipeline.correlator import feature_spatial_var
+
+        pts, feat = _cloud(rng, n=256)
+        mask = jnp.ones(256, bool)
+        M = 64
+        w_full_anchor = feature_spatial_var(
+            pts[:M], feat[:M], mask[:M], k=8)  # exact weight on anchors...
+        w = feature_spatial_var(pts, feat, mask, k=8, anchors=M)
+        # ...except the anchored variant searches neighbors in the FULL
+        # cloud; check the transfer structure instead: every output row
+        # equals the weight of its nearest anchor
+        d2 = np.sum((np.asarray(pts)[:, None] - np.asarray(pts[:M])[None]) ** 2,
+                    axis=-1)
+        j = np.argmin(d2, axis=1)
+        w_np = np.asarray(w)
+        np.testing.assert_allclose(w_np, w_np[:M][j], rtol=0, atol=0)
+        assert not np.allclose(np.asarray(w_full_anchor), 0)
+
+    def test_anchors_none_and_full_are_exact(self, rng):
+        from umeregrobust_tpu.pipeline.correlator import feature_spatial_var
+
+        pts, feat = _cloud(rng, n=128)
+        mask = jnp.ones(128, bool)
+        w_none = feature_spatial_var(pts, feat, mask, k=8)
+        w_full = feature_spatial_var(pts, feat, mask, k=8, anchors=128)
+        np.testing.assert_allclose(np.asarray(w_none), np.asarray(w_full))
+
+
+class TestEstimatorSweeps:
+    def test_three_sweeps_matches_six(self, rng):
+        """sweeps=3 vs 6 on random UME pairs: rotations agree to well
+        under the SP threshold (the validation behind the fast default,
+        core/ume.estimate_rigid_from_ume docstring)."""
+        from umeregrobust_tpu.core.ume import estimate_rigid_from_ume
+
+        G = jnp.asarray(rng.normal(0, 1, (64, 16, 4)).astype(np.float32))
+        H = jnp.asarray(rng.normal(0, 1, (64, 16, 4)).astype(np.float32))
+        T6, _ = estimate_rigid_from_ume(G, H, compute_distance=False,
+                                        sweeps=6)
+        T3, _ = estimate_rigid_from_ume(G, H, compute_distance=False,
+                                        sweeps=3)
+        R6 = np.asarray(T6)[:, :3, :3]
+        R3 = np.asarray(T3)[:, :3, :3]
+        tr = np.clip((np.einsum("nij,nij->n", R3, R6) - 1) / 2, -1, 1)
+        assert np.degrees(np.arccos(tr)).max() < 0.2
