@@ -80,6 +80,12 @@ def main():
                          "RegistrationConfig default)")
     ap.add_argument("--rescore-top", type=int, default=0,
                     help="ablation: exact-rescore hypothesis count")
+    ap.add_argument("--icp-inner", type=int, default=0,
+                    help="ablation: ICP candidate-reuse sub-iterations per "
+                         "gather")
+    ap.add_argument("--feat-copy", type=float, default=-1.0,
+                    help="ablation: feature-copy NN radius (0 = exact "
+                         "brute-force parity path)")
     ap.add_argument("--fuse", type=int, default=0,
                     help="pairs fused per launch (default 8 reduced / 1 "
                          "reference; the axon tunnel costs ~160 ms "
@@ -178,7 +184,8 @@ def main():
     if (cli.corr_mode or cli.hyps or cli.kpts or cli.filter_mode
             or cli.triage >= 0 or cli.icp_iter or cli.coarse_src
             or cli.rescore_top or cli.mr_iter or cli.consensus >= 0
-            or cli.coarse_tgt or cli.triage_tgt):
+            or cli.coarse_tgt or cli.triage_tgt or cli.icp_inner
+            or cli.feat_copy >= 0):
         from dataclasses import replace
         kw = {}
         if cli.corr_mode:
@@ -205,6 +212,10 @@ def main():
             kw["corr_rescore_top"] = cli.rescore_top
         if cli.consensus >= 0:
             kw["consensus_cands"] = cli.consensus
+        if cli.icp_inner:
+            kw["icp_inner"] = cli.icp_inner
+        if cli.feat_copy >= 0:
+            kw["feat_copy_radius"] = cli.feat_copy if cli.feat_copy > 0 else None
         cfg = replace(cfg, **kw)
         log(f"ablation overrides: {kw}")
     ckpt = cli.ckpt or os.path.join(os.path.dirname(os.path.abspath(__file__)),

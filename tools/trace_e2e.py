@@ -45,7 +45,7 @@ def main():
     print("devices:", jax.devices(), flush=True)
     SEM_CAP, CORR_CAP = 16384, 4096
     arch = ARCHS["ResUNetSmall2"]
-    caps = (SEM_CAP, 12288, 6144, 3072, 1024)
+    caps = (SEM_CAP, 10240, 4096, 1280, 256)
     # mirror bench.py's reduced-regime cfg exactly
     cfg = RegistrationConfig(
         num_init_keypoints=2048, ume_n_samples=args.hyps,

@@ -31,34 +31,36 @@ __all__ = ["kabsch_rotation", "quat_to_rot", "gram_schmidt"]
 
 
 def _jacobi_rotate(A, V, p, r):
-    """One batched Jacobi rotation zeroing A[..., p, r] (A symmetric 4x4)."""
+    """One batched Jacobi rotation zeroing A[..., p, r] (A symmetric 4x4).
+
+    G = I with (p,p)=(r,r)=c, (p,r)=s, (r,p)=-s; A' = G^T A G, V' = V G.
+    Only rows/columns p and r change, so the update is 8 width-4 fused
+    axpys instead of three batched 4x4 matmuls (batched tiny matmuls pad
+    4 -> 8x128 vector lanes on TPU and were ~4 ms/pair across the
+    estimator + ICP + consensus call sites, trace_e2e so3.py lines)."""
     app = A[..., p, p]
     arr = A[..., r, r]
     apr = A[..., p, r]
     # zero A'[p,r] = cs (app - arr) + (c^2 - s^2) apr:
     # tan(2 theta) = 2 apr / (arr - app)
     theta = 0.5 * jnp.arctan2(2.0 * apr, arr - app)
-    c = jnp.cos(theta)
-    s = jnp.sin(theta)
-    n = A.shape[-1]
-    eye = jnp.eye(n, dtype=A.dtype)
-    # G = I with (p,p)=(r,r)=c, (p,r)=s, (r,p)=-s
-    ep = eye[p]
-    er = eye[r]
-    G = (
-        eye
-        - jnp.einsum("i,j->ij", ep, ep)
-        - jnp.einsum("i,j->ij", er, er)
-        + c[..., None, None] * (jnp.einsum("i,j->ij", ep, ep)
-                                + jnp.einsum("i,j->ij", er, er))
-        + s[..., None, None] * jnp.einsum("i,j->ij", ep, er)
-        - s[..., None, None] * jnp.einsum("i,j->ij", er, ep)
-    )
-    GT = jnp.swapaxes(G, -1, -2)
-    A2 = jnp.matmul(GT, jnp.matmul(A, G, precision=jax.lax.Precision.HIGHEST),
-                    precision=jax.lax.Precision.HIGHEST)
-    V2 = jnp.matmul(V, G, precision=jax.lax.Precision.HIGHEST)
-    return A2, V2
+    c = jnp.cos(theta)[..., None]
+    s = jnp.sin(theta)[..., None]
+    # G^T A: rows p, r
+    rowp = A[..., p, :]
+    rowr = A[..., r, :]
+    A = A.at[..., p, :].set(c * rowp - s * rowr)
+    A = A.at[..., r, :].set(s * rowp + c * rowr)
+    # (G^T A) G: columns p, r
+    colp = A[..., :, p]
+    colr = A[..., :, r]
+    A = A.at[..., :, p].set(c * colp - s * colr)
+    A = A.at[..., :, r].set(s * colp + c * colr)
+    vp = V[..., :, p]
+    vr = V[..., :, r]
+    V = V.at[..., :, p].set(c * vp - s * vr)
+    V = V.at[..., :, r].set(s * vp + c * vr)
+    return A, V
 
 
 def _jacobi_eigh4(K, sweeps: int = 6):

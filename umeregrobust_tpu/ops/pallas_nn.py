@@ -1,0 +1,102 @@
+"""Fused brute-force 1-NN (Pallas TPU kernel).
+
+The SEM-grid -> raw-point feature transfer (reference evaluate.py:272-275,
+knn_points K=1 over the full clouds) needs an UNBOUNDED exact nearest
+neighbor: every raw point gets the feature of its closest SEM voxel, no
+radius cap. The XLA formulation (pipeline/registration.copy_features_to_raw)
+round-trips a (chunk x N) distance matrix through HBM per chunk — ~3.2
+ms/pair at bench sizes (trace_e2e) for what is arithmetically ~0.3 ms of
+VPU work. This kernel keeps the distance tile in VMEM: per query block,
+it sweeps the reference cloud in lane-width slices, maintaining a running
+(min d2, argmin) pair — zero HBM intermediates, output is just (M,) idx.
+
+Exactness: identical formula to pairwise_sqdist (|p|^2 + |q|^2 - 2 p.q,
+full-f32 cross term) and first-index tie-breaking, so results match the
+XLA path bitwise except on exact float ties across slice boundaries.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["nn1_argmin"]
+
+
+def _kernel(q_ref, p_ref, idx_ref, *, n_slices, ts, sl):
+    q = q_ref[:]  # (ts, 4) query block
+    qq = jnp.sum(q * q, axis=1, keepdims=True)  # (ts, 1)
+
+    def body(s, carry):
+        best_d2, best_ix = carry
+        p = p_ref[pl.ds(s * sl, sl), :]  # (sl, 4)
+        pq = jax.lax.dot_general(
+            q, p, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (ts, sl)
+        pp = jnp.sum(p * p, axis=1).reshape(1, -1)  # (1, sl)
+        d2 = qq + pp - 2.0 * pq
+        m = jnp.min(d2, axis=1, keepdims=True)  # (ts, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        ix = jnp.min(jnp.where(d2 <= m, lane, jnp.int32(2 ** 30)),
+                     axis=1, keepdims=True) + s * sl
+        upd = m < best_d2
+        return jnp.where(upd, m, best_d2), jnp.where(upd, ix, best_ix)
+
+    best_d2 = jnp.full((ts, 1), jnp.float32(jnp.inf))
+    best_ix = jnp.zeros((ts, 1), jnp.int32)
+    _, best_ix = jax.lax.fori_loop(0, n_slices, body, (best_d2, best_ix))
+    idx_ref[:] = jnp.broadcast_to(best_ix, idx_ref.shape)
+
+
+@partial(jax.jit, static_argnames=("ts", "sl", "interpret"))
+def nn1_argmin(
+    queries: jnp.ndarray,  # (M, 3)
+    points: jnp.ndarray,  # (N, 3) reference cloud
+    p_mask: jnp.ndarray,  # (N,) validity; masked rows never win
+    ts: int = 256,
+    sl: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Index of the nearest reference point for every query: (M,) int32.
+
+    Masked reference rows are parked FAR so they never win; if the whole
+    cloud is masked the argmin is arbitrary (callers mask the output
+    features by validity anyway).
+    """
+    M = queries.shape[0]
+    N = points.shape[0]
+    qpad = (-M) % ts
+    q4 = jnp.concatenate(
+        [queries.astype(jnp.float32),
+         jnp.zeros((queries.shape[0], 1), jnp.float32)], axis=1)
+    if qpad:
+        q4 = jnp.concatenate([q4, jnp.zeros((qpad, 4), jnp.float32)], axis=0)
+    ppad = (-N) % sl
+    p3 = jnp.where(p_mask[:, None], points.astype(jnp.float32),
+                   jnp.float32(1e9))
+    p4 = jnp.concatenate([p3, jnp.zeros((N, 1), jnp.float32)], axis=1)
+    if ppad:
+        far = jnp.full((ppad, 4), jnp.float32(1e9))
+        far = far.at[:, 3].set(0.0)
+        p4 = jnp.concatenate([p4, far], axis=0)
+    Np = N + ppad
+    kern = partial(_kernel, n_slices=Np // sl, ts=ts, sl=sl)
+    idx = pl.pallas_call(
+        kern,
+        grid=((M + qpad) // ts,),
+        in_specs=[
+            pl.BlockSpec((ts, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np, 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ts, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M + qpad, 128), jnp.int32),
+        interpret=interpret,
+    )(q4, p4)
+    return jnp.minimum(idx[:M, 0], jnp.int32(N - 1))

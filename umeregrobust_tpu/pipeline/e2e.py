@@ -19,6 +19,7 @@ from umeregrobust_tpu.pipeline.registration import (
     RegistrationConfig,
     _hypotheses_and_select,
     copy_features_to_raw,
+    copy_features_to_raw_grid,
     refine_with_icp,
 )
 
@@ -71,10 +72,17 @@ def register_pair_e2e(
         feats = {"src": both[:N], "tgt": both[N:]}
 
     with jax.named_scope("feat_to_raw"):
-        cs_f = copy_features_to_raw(corr_src_pts, corr_src_mask, src_grid,
-                                    feats["src"], src_mask)
-        ct_f = copy_features_to_raw(corr_tgt_pts, corr_tgt_mask, tgt_grid,
-                                    feats["tgt"], tgt_mask)
+        if cfg.feat_copy_radius is not None:
+            def _copy(qp, qm, sp, sf, sm):
+                return copy_features_to_raw_grid(
+                    qp, qm, sp, sf, sm, radius=cfg.feat_copy_radius,
+                    budget=cfg.feat_copy_budget, dims=cfg.feat_copy_dims)
+        else:
+            _copy = copy_features_to_raw
+        cs_f = _copy(corr_src_pts, corr_src_mask, src_grid,
+                     feats["src"], src_mask)
+        ct_f = _copy(corr_tgt_pts, corr_tgt_mask, tgt_grid,
+                     feats["tgt"], tgt_mask)
 
     with jax.named_scope("hypotheses"):
         best_T, _, _ = _hypotheses_and_select(

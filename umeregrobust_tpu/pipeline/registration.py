@@ -152,7 +152,20 @@ class RegistrationConfig:
     # once and runs icp_inner Umeyama updates against the frozen set (the
     # gather is ~10x the cost of a re-rank on v5e; see
     # pipeline/icp._icp_loop). 1 = gather every iteration (exact parity).
-    icp_inner: int = 4
+    # 6 measured equivalent to 4 on the hardened suite (identical failure
+    # set, residual shifts < 0.1 deg) at ~1.5 gathers/pair fewer.
+    icp_inner: int = 6
+    # 1-NN feature transfer SEM grid -> raw correlator points (reference
+    # evaluate.py:272-275 knn_points K=1, unbounded): None = exact brute-
+    # force argmin (parity); a radius makes it a dense-grid query — raw
+    # points with no SEM point within the radius get a zero feature
+    # instead of a far extrapolated one (they then contribute ~nothing to
+    # the correlation either way; recall-gated on the hardened bench).
+    # The brute-force path round-trips a (chunk x N_sem) distance matrix
+    # per chunk — ~3.2 ms/pair of HBM traffic at bench sizes (trace_e2e).
+    feat_copy_radius: Optional[float] = None
+    feat_copy_budget: int = 16
+    feat_copy_dims: Tuple[int, int, int] = (256, 256, 64)
 
 
 class RegistrationResult(NamedTuple):
@@ -183,8 +196,17 @@ def copy_features_to_raw(
     chunk: int = 1024,
 ) -> jnp.ndarray:
     """1-NN feature transfer from SEM grid points to raw correlator points
-    (reference evaluate.py:272-275). Chunked argmin (no top_k)."""
+    (reference evaluate.py:272-275). Fused Pallas argmin sweep on TPU
+    (ops/pallas_nn — zero HBM intermediates); chunked XLA argmin
+    elsewhere (the (chunk x N) distance tile round-trips HBM, ~3.2
+    ms/pair at bench sizes)."""
     from umeregrobust_tpu.ops.neighbors import pairwise_sqdist
+
+    if jax.default_backend() == "tpu":
+        from umeregrobust_tpu.ops.pallas_nn import nn1_argmin
+
+        idx = nn1_argmin(raw_pts, sem_pts, sem_mask)
+        return sem_feat[idx] * raw_mask[:, None]
 
     M = raw_pts.shape[0]
     pad = (-M) % chunk
@@ -199,6 +221,33 @@ def copy_features_to_raw(
     _, idx = jax.lax.scan(step, None, qp.reshape(n_chunks, chunk, 3))
     idx = idx.reshape(-1)[:M]
     return sem_feat[idx] * raw_mask[:, None]
+
+
+def copy_features_to_raw_grid(
+    raw_pts: jnp.ndarray,
+    raw_mask: jnp.ndarray,
+    sem_pts: jnp.ndarray,
+    sem_feat: jnp.ndarray,
+    sem_mask: jnp.ndarray,
+    radius: float,
+    budget: int = 16,
+    dims: Tuple[int, int, int] = (256, 256, 64),
+) -> jnp.ndarray:
+    """Radius-bounded 1-NN feature transfer via the dense grid index.
+
+    Fast-path variant of `copy_features_to_raw` (cfg.feat_copy_radius):
+    the SEM cloud is 0.3 m-voxelized, so virtually every raw point has a
+    SEM neighbor well inside `radius`; the rare miss gets a zero feature
+    (it would have received a >radius extrapolated feature from the exact
+    path and contributes ~zero correlation mass either way)."""
+    from umeregrobust_tpu.ops.densegrid import build_dense_grid, dense_nn_query
+
+    grid = build_dense_grid(sem_pts, sem_mask, cell=float(radius),
+                            dims=tuple(dims))
+    _, idx = dense_nn_query(grid, raw_pts, radius=float(radius),
+                            q_mask=raw_mask, budget=int(budget))
+    ok = idx >= 0
+    return sem_feat[jnp.where(ok, idx, 0)] * (ok & raw_mask)[:, None]
 
 
 def refine_with_icp(

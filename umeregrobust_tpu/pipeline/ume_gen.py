@@ -78,6 +78,17 @@ def ume_from_ball_query(
 
     r2 = jnp.float32(radius) ** 2
 
+    # block size for the cumulative-count matmul: largest power of two
+    # <= 512 dividing N (every shipped capacity is a multiple of 256)
+    bs = 512
+    while N % bs:
+        bs //= 2
+    nb = N // bs
+    # upper-triangular ones: okb @ TRI = within-block inclusive cumsum.
+    # bf16 operands are EXACT here (0/1 values) and the f32 accumulation
+    # is exact for counts <= 2^24 — so this is bitwise the old cumsum.
+    TRI = jnp.triu(jnp.ones((bs, bs), jnp.bfloat16))
+
     def step(_, kb):
         d2 = (
             jnp.sum(kb * kb, axis=-1)[:, None]
@@ -88,8 +99,21 @@ def ume_from_ball_query(
         ok = d2 <= r2
         if p_valid is not None:
             ok = ok & p_valid[None, :]
-        # first-max_nn-by-index cap (PyTorch3D ball_query semantics)
-        cum = jnp.cumsum(ok.astype(jnp.int32), axis=1)
+        # first-max_nn-by-index cap (PyTorch3D ball_query semantics).
+        # jnp.cumsum over the 16k point axis lowers to ~log2(N) reduce-
+        # window passes over the (chunk, N) matrix — measured ~2.4 ms of
+        # the 3.9 ms UME stage. One within-block triangular MXU matmul +
+        # a tiny cross-block scan computes the same counts exactly.
+        if bs >= 64:
+            okb = ok.astype(jnp.bfloat16).reshape(chunk * nb, bs)
+            cum_in = jnp.matmul(okb, TRI,
+                                preferred_element_type=jnp.float32)
+            cum_in = cum_in.reshape(chunk, nb, bs)
+            tot = cum_in[..., -1]  # (chunk, nb) block totals
+            excl = jnp.cumsum(tot, axis=-1) - tot
+            cum = (cum_in + excl[..., None]).reshape(chunk, N)
+        else:  # tiny/odd capacities: the direct cumsum is cheap anyway
+            cum = jnp.cumsum(ok.astype(jnp.int32), axis=1)
         w = (ok & (cum <= max_nn)).astype(jnp.float32)
         Fk = jnp.matmul(w, Z, precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)  # (chunk, 4C)
