@@ -75,6 +75,13 @@ def main():
                     help="ablation: correlator coarse-stage target rows")
     ap.add_argument("--triage-tgt", type=int, default=0,
                     help="ablation: correlator triage-stage target rows")
+    ap.add_argument("--triage-top", type=int, default=0,
+                    help="ablation: survivors kept by the triage pre-stage "
+                         "for the coarse+exact cascade (coarse cost is "
+                         "linear in it)")
+    ap.add_argument("--kp-boost", type=float, default=-1.0,
+                    help="ablation: structure-biased keypoint sampling "
+                         "weight (kp_struct_boost; 0 = uniform parity)")
     ap.add_argument("--consensus", type=int, default=-1,
                     help="consensus candidates (0 disables, -1 keeps the "
                          "RegistrationConfig default)")
@@ -172,9 +179,12 @@ def main():
         # coarse 512x1024 + rescore-top 16: after triage the coarse stage
         # only ranks 512 survivors, so half the source rows and half the
         # exact-rescore set lose zero recall (bisect in BENCH_NOTES_r3)
+        # rescore_top 4: recall byte-identical to 16 (the consensus
+        # arbiter re-scores the polished winner set anyway, so exact-stage
+        # finalists beyond the top 4 never decide), 15.74 -> 16.01 pairs/s
         cfg = RegistrationConfig(
             num_init_keypoints=2048, ume_n_samples=2048,
-            corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=16,
+            corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=4,
             icp_max_corr=0.4, icp_max_iter=60,
             icp_coarse_corr=None)
         scene_kw = dict(extent=25.0, ground_points=12000,
@@ -185,7 +195,7 @@ def main():
             or cli.triage >= 0 or cli.icp_iter or cli.coarse_src
             or cli.rescore_top or cli.mr_iter or cli.consensus >= 0
             or cli.coarse_tgt or cli.triage_tgt or cli.icp_inner
-            or cli.feat_copy >= 0):
+            or cli.feat_copy >= 0 or cli.triage_top or cli.kp_boost >= 0):
         from dataclasses import replace
         kw = {}
         if cli.corr_mode:
@@ -208,6 +218,10 @@ def main():
             kw["corr_coarse_tgt"] = cli.coarse_tgt
         if cli.triage_tgt:
             kw["corr_triage_tgt"] = cli.triage_tgt
+        if cli.triage_top:
+            kw["corr_triage_top"] = cli.triage_top
+        if cli.kp_boost >= 0:
+            kw["kp_struct_boost"] = cli.kp_boost
         if cli.rescore_top:
             kw["corr_rescore_top"] = cli.rescore_top
         if cli.consensus >= 0:

@@ -411,3 +411,32 @@ class TestEstimatorSweeps:
         R3 = np.asarray(T3)[:, :3, :3]
         tr = np.clip((np.einsum("nij,nij->n", R3, R6) - 1) / 2, -1, 1)
         assert np.degrees(np.arccos(tr)).max() < 0.2
+
+
+class TestStructBiasedKeypoints:
+    def test_boost_prefers_structure_and_respects_mask(self, rng):
+        """kp_struct_boost > 0 raises the structure fraction of sampled
+        keypoints (label-free min-z criterion) without ever sampling
+        padded rows; boost=0 is the uniform reference-parity path."""
+        from umeregrobust_tpu.pipeline.registration import _sample_keypoints
+
+        N = 4096
+        pts = np.zeros((N, 3), np.float32)
+        pts[:, :2] = rng.uniform(0, 40, (N, 2))
+        pts[3500:, 2] = rng.uniform(1.0, 4.0, N - 3500)  # structure
+        mask = np.ones(N, bool)
+        mask[4000:] = False
+        pts[4000:] = 1e3  # padded rows, far away
+        kp_b, ok_b = _sample_keypoints(
+            jax.random.PRNGKey(1), jnp.asarray(pts), jnp.asarray(mask),
+            1024, struct_boost=4.0)
+        kp_u, ok_u = _sample_keypoints(
+            jax.random.PRNGKey(1), jnp.asarray(pts), jnp.asarray(mask),
+            1024)
+        kp_b, ok_b = np.asarray(kp_b), np.asarray(ok_b)
+        kp_u, ok_u = np.asarray(kp_u), np.asarray(ok_u)
+        assert ok_b.all() and ok_u.all()
+        assert (np.abs(kp_b) < 100).all()  # no padded rows
+        frac_b = (kp_b[:, 2] > 0.5).mean()
+        frac_u = (kp_u[:, 2] > 0.5).mean()
+        assert frac_b > 2.0 * frac_u

@@ -166,6 +166,16 @@ class RegistrationConfig:
     feat_copy_radius: Optional[float] = None
     feat_copy_budget: int = 16
     feat_copy_dims: Tuple[int, int, int] = (256, 256, 64)
+    # structure-biased keypoint sampling: weight a candidate keypoint
+    # (1 + boost) if it sits > kp_struct_dz above its 2 m-cell min z (the
+    # same label-free criterion as consensus.compact_structure). Ground
+    # UME neighborhoods are near-planar and self-similar — at low overlap
+    # the correct matches live on shared STRUCTURE, so biasing both
+    # clouds' samples toward structure multiplies the chance a true
+    # correspondence is sampled on both sides. 0 = uniform (reference
+    # evaluate.py:195-204 parity).
+    kp_struct_boost: float = 0.0
+    kp_struct_dz: float = 0.35
 
 
 class RegistrationResult(NamedTuple):
@@ -175,13 +185,28 @@ class RegistrationResult(NamedTuple):
     icp_fitness: jnp.ndarray
 
 
-def _sample_keypoints(key, pts, mask, n):
+def _sample_keypoints(key, pts, mask, n, struct_boost=0.0, struct_dz=0.35):
     """Sample n keypoints ~ uniform over valid rows (reference
     evaluate.py:195-204 samples min(10000, len(pts)); we keep the static
     shape and return a per-keypoint validity flag instead — when the cloud
     has fewer than n valid points, the surplus slots land on padded rows
-    and are masked out of matching/filtering downstream)."""
+    and are masked out of matching/filtering downstream).
+
+    struct_boost > 0 multiplies the sampling weight of structure points
+    (height above their 2 m-cell min z exceeds struct_dz) by
+    (1 + struct_boost) — see RegistrationConfig.kp_struct_boost."""
     p = mask.astype(jnp.float32)
+    if struct_boost > 0.0:
+        cell, grid_dim = 2.0, 64
+        cc = jnp.floor(pts[:, :2] / cell).astype(jnp.int32)
+        cc = cc - jnp.min(jnp.where(mask[:, None], cc, jnp.int32(1 << 20)),
+                          axis=0)
+        cc = jnp.clip(cc, 0, grid_dim - 1)
+        flat = cc[:, 0] * grid_dim + cc[:, 1]
+        minz = jnp.full((grid_dim * grid_dim,), jnp.float32(1e9)).at[
+            flat].min(jnp.where(mask, pts[:, 2], jnp.float32(1e9)))
+        is_struct = mask & (pts[:, 2] - minz[flat] > struct_dz)
+        p = p * (1.0 + jnp.float32(struct_boost) * is_struct)
     p = p / jnp.maximum(jnp.sum(p), 1.0)
     idx = jax.random.choice(key, pts.shape[0], (n,), replace=False, p=p)
     return pts[idx], mask[idx]
@@ -324,8 +349,12 @@ def _hypotheses_and_select(
     k_src, k_tgt, k_filt, k_corr = jax.random.split(key, 4)
 
     n_init = cfg.num_init_keypoints if cfg.filter_by_ume_dist else cfg.ume_n_samples
-    src_kp, src_kp_ok = _sample_keypoints(k_src, src_pts, src_mask, n_init)
-    tgt_kp, tgt_kp_ok = _sample_keypoints(k_tgt, tgt_pts, tgt_mask, n_init)
+    src_kp, src_kp_ok = _sample_keypoints(
+        k_src, src_pts, src_mask, n_init,
+        struct_boost=cfg.kp_struct_boost, struct_dz=cfg.kp_struct_dz)
+    tgt_kp, tgt_kp_ok = _sample_keypoints(
+        k_tgt, tgt_pts, tgt_mask, n_init,
+        struct_boost=cfg.kp_struct_boost, struct_dz=cfg.kp_struct_dz)
 
     ume_src = ume_from_ball_query(
         src_pts, src_feat, src_kp, radius=cfg.ume_r_nn, max_nn=cfg.ume_max_nn,
@@ -486,8 +515,12 @@ def _ume_and_distance(
 
     k_src, k_tgt = jax.random.split(key)
     n_init = cfg.num_init_keypoints if cfg.filter_by_ume_dist else cfg.ume_n_samples
-    src_kp, src_kp_ok = _sample_keypoints(k_src, src_pts, src_mask, n_init)
-    tgt_kp, tgt_kp_ok = _sample_keypoints(k_tgt, tgt_pts, tgt_mask, n_init)
+    src_kp, src_kp_ok = _sample_keypoints(
+        k_src, src_pts, src_mask, n_init,
+        struct_boost=cfg.kp_struct_boost, struct_dz=cfg.kp_struct_dz)
+    tgt_kp, tgt_kp_ok = _sample_keypoints(
+        k_tgt, tgt_pts, tgt_mask, n_init,
+        struct_boost=cfg.kp_struct_boost, struct_dz=cfg.kp_struct_dz)
     ume_src = ume_from_ball_query(
         src_pts, src_feat, src_kp, radius=cfg.ume_r_nn, max_nn=cfg.ume_max_nn,
         p_mask=src_mask, k_mask=src_kp_ok, normalize=True)
