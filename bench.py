@@ -226,6 +226,13 @@ def main():
             kw["corr_rescore_top"] = cli.rescore_top
         if cli.consensus >= 0:
             kw["consensus_cands"] = cli.consensus
+            # rescore_top=4 is tuned WITH the consensus arbiter re-scoring
+            # the polished winner set; a consensus-off ablation must not
+            # silently also weaken the exact-rescore stage (ADVICE r3) —
+            # restore the standalone-tuned 16 unless explicitly overridden
+            if cli.consensus == 0 and not cli.rescore_top \
+                    and cfg.corr_rescore_top == 4:
+                kw["corr_rescore_top"] = 16
         if cli.icp_inner:
             kw["icp_inner"] = cli.icp_inner
         if cli.feat_copy >= 0:

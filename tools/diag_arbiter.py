@@ -57,9 +57,12 @@ def main():
     arch = ARCHS["ResUNetSmall2"]
     SEM_CAP, CORR_CAP = 16384, 4096
     caps = (SEM_CAP, 10240, 4096, 1280, 256)
+    # bench.py's reduced operating point (keep in sync with bench.py cfg;
+    # the r3 probe ran at the pre-change corr_rescore_top=16 — noted in
+    # BENCH_NOTES_r3; it is 4 since)
     cfg = RegistrationConfig(
         num_init_keypoints=2048, ume_n_samples=2048,
-        corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=16,
+        corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=4,
         icp_max_corr=0.4, icp_max_iter=60, icp_coarse_corr=None)
     scene_kw = dict(extent=25.0, ground_points=12000, structure_points=24000)
     rkw = dict(baseline=30.0, max_rotation_deg=180, min_rotation_deg=150,

@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--dual", action="store_true",
                     help="trace the bench's fused-2 (two pairs/program)")
+    ap.add_argument("--regime", choices=("reduced", "reference"),
+                    default="reduced",
+                    help="operating point (mirrors bench.py --regime)")
     args = ap.parse_args()
 
     import jax
@@ -43,25 +46,36 @@ def main():
     from umeregrobust_tpu.pipeline.registration import RegistrationConfig
 
     print("devices:", jax.devices(), flush=True)
-    SEM_CAP, CORR_CAP = 16384, 4096
     arch = ARCHS["ResUNetSmall2"]
-    caps = (SEM_CAP, 10240, 4096, 1280, 256)
-    # mirror bench.py's reduced-regime cfg exactly
-    cfg = RegistrationConfig(
-        num_init_keypoints=2048, ume_n_samples=args.hyps,
-        corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=16,
-        icp_max_corr=0.4, icp_max_iter=60, icp_coarse_corr=None,
-        icp_budget=32)
+    if args.regime == "reference":
+        # mirror bench.py's reference-regime cfg exactly
+        SEM_CAP, CORR_CAP = 50176, 10240
+        caps = (SEM_CAP, 37632, 18816, 9408, 3200)
+        cfg = RegistrationConfig(icp_dims=(768, 768, 96), icp_budget=24)
+        scene_kw = dict(extent=50.0, ground_points=30000,
+                        structure_points=60000)
+        sem_points = 125000
+    else:
+        SEM_CAP, CORR_CAP = 16384, 4096
+        caps = (SEM_CAP, 10240, 4096, 1280, 256)
+        # mirror bench.py's reduced-regime cfg exactly
+        cfg = RegistrationConfig(
+            num_init_keypoints=2048, ume_n_samples=args.hyps,
+            corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=16,
+            icp_max_corr=0.4, icp_max_iter=60, icp_coarse_corr=None,
+            icp_budget=32)
+        scene_kw = dict(extent=25.0, ground_points=12000,
+                        structure_points=24000)
+        sem_points = 50000
 
     seed = 100
-    pair = make_pair(SceneConfig(extent=25.0, ground_points=12000,
-                                 structure_points=24000, seed=seed,
-                                 observe_mode="lidar", baseline=8.0),
+    pair = make_pair(SceneConfig(seed=seed, observe_mode="lidar",
+                                 baseline=8.0, **scene_kw),
                      max_rotation_deg=120, max_translation=8.0, seed=seed)
     data = {}
     for tag, pts, seg in [("src", pair["src_pts"], pair["src_seg"]),
                           ("tgt", pair["tgt_pts"], pair["tgt_seg"])]:
-        ep, es = equalize_sampling(pts, seg, SEMConfig(num_points=50000,
+        ep, es = equalize_sampling(pts, seg, SEMConfig(num_points=sem_points,
                                                        seed=seed))
         ep = ep[es != 0]
         coords, _ = quantize_np(ep, 0.3)

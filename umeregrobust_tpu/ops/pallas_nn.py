@@ -32,12 +32,15 @@ def _kernel(q_ref, p_ref, idx_ref, *, n_slices, ts, sl):
 
     def body(s, carry):
         best_d2, best_ix = carry
-        p = p_ref[pl.ds(s * sl, sl), :]  # (sl, 4)
+        # points live TRANSPOSED (4, N) so the VMEM block is 8 sublanes x N
+        # lanes instead of N x 128 (a (N, 4) f32 block still occupies full
+        # (8, 128) tiles -> 25 MB at N=51200, over the 16 MB scoped limit)
+        p = p_ref[:, pl.ds(s * sl, sl)]  # (4, sl)
         pq = jax.lax.dot_general(
-            q, p, dimension_numbers=(((1,), (1,)), ((), ())),
+            q, p, dimension_numbers=(((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # (ts, sl)
-        pp = jnp.sum(p * p, axis=1).reshape(1, -1)  # (1, sl)
+        pp = jnp.sum(p * p, axis=0).reshape(1, -1)  # (1, sl)
         d2 = qq + pp - 2.0 * pq
         m = jnp.min(d2, axis=1, keepdims=True)  # (ts, 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
@@ -84,6 +87,7 @@ def nn1_argmin(
         far = far.at[:, 3].set(0.0)
         p4 = jnp.concatenate([p4, far], axis=0)
     Np = N + ppad
+    p4t = p4.T  # (4, Np): 8-sublane x Np-lane VMEM block (see _kernel)
     kern = partial(_kernel, n_slices=Np // sl, ts=ts, sl=sl)
     idx = pl.pallas_call(
         kern,
@@ -91,12 +95,12 @@ def nn1_argmin(
         in_specs=[
             pl.BlockSpec((ts, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Np, 4), lambda i: (0, 0),
+            pl.BlockSpec((4, Np), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ts, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M + qpad, 128), jnp.int32),
         interpret=interpret,
-    )(q4, p4)
+    )(q4, p4t)
     return jnp.minimum(idx[:M, 0], jnp.int32(N - 1))

@@ -197,7 +197,16 @@ def _sample_keypoints(key, pts, mask, n, struct_boost=0.0, struct_dz=0.35):
     (1 + struct_boost) — see RegistrationConfig.kp_struct_boost."""
     p = mask.astype(jnp.float32)
     if struct_boost > 0.0:
-        cell, grid_dim = 2.0, 64
+        grid_dim = 64
+        # size the cell from the data so wide clouds (reference-regime
+        # scenes span 100 m+) never clamp outlying points into edge
+        # cells and pool min-z across distant regions (ADVICE r3):
+        # cell >= 2 m, grown until grid_dim cells cover the x/y span
+        big = jnp.float32(1e9)
+        lo = jnp.min(jnp.where(mask[:, None], pts[:, :2], big), axis=0)
+        hi = jnp.max(jnp.where(mask[:, None], pts[:, :2], -big), axis=0)
+        span = jnp.max(hi - lo)
+        cell = jnp.maximum(jnp.float32(2.0), span / (grid_dim - 1))
         cc = jnp.floor(pts[:, :2] / cell).astype(jnp.int32)
         cc = cc - jnp.min(jnp.where(mask[:, None], cc, jnp.int32(1 << 20)),
                           axis=0)
