@@ -93,6 +93,23 @@ class TestPairwiseDistance:
         ) / np.sqrt(2.0)
         np.testing.assert_allclose(np.asarray(D), brute, atol=1e-5)
 
+    def test_projection_packed_inner_products_exact(self, key):
+        """<pack(P1), pack(P2)> must equal <P1, P2> (the sqrt(2) off-
+        diagonal scaling makes the d(d+1)/2 packing exact — the matching
+        cross matmul relies on it, pipeline/matching.argmin_match)."""
+        from umeregrobust_tpu.core.ume import projection_packed
+
+        keys = jax.random.split(key, 8)
+        F1 = jnp.stack([moment_matrix(*_neighborhood(k)) for k in keys[:4]])
+        F2 = jnp.stack([moment_matrix(*_neighborhood(k)) for k in keys[4:]])
+        p1 = np.asarray(projection_packed(F1))
+        p2 = np.asarray(projection_packed(F2))
+        P1 = np.asarray(subspace_projection(F1)).reshape(4, -1)
+        P2 = np.asarray(subspace_projection(F2)).reshape(4, -1)
+        np.testing.assert_allclose(p1 @ p2.T, P1 @ P2.T, atol=1e-5)
+        d = F1.shape[1]
+        assert p1.shape[-1] == d * (d + 1) // 2
+
     def test_diag_small_for_transformed_copies(self, key):
         k1, k2 = jax.random.split(key)
         T = random_rigid_transform(k2)

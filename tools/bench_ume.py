@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--kpts", type=int, default=2048)
     ap.add_argument("--c", type=int, default=32)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--xla", action="store_true",
+                    help="force the XLA chunk-loop path (pallas=False) "
+                         "for A/B against the fused kernel")
+    ap.add_argument("--check", action="store_true",
+                    help="compare pallas vs XLA outputs on TPU")
     args = ap.parse_args()
 
     import jax
@@ -40,6 +45,18 @@ def main():
     pm = jnp.asarray(rng.random(args.n) > 0.05)
 
     k = args.reps
+    use_pallas = not args.xla
+
+    if args.check:
+        Fp = ume_from_ball_query(pts, feats, kpts, radius=5.0, max_nn=750,
+                                 p_mask=pm, normalize=True, pallas=True)
+        Fx = ume_from_ball_query(pts, feats, kpts, radius=5.0, max_nn=750,
+                                 p_mask=pm, normalize=True, pallas=False)
+        Fp, Fx = np.asarray(Fp), np.asarray(Fx)
+        scale = np.abs(Fx).max()
+        print(f"pallas vs xla: max_abs={np.abs(Fp-Fx).max():.3e} "
+              f"rel={np.abs(Fp-Fx).max()/scale:.3e} (scale {scale:.3e})",
+              flush=True)
 
     @jax.jit
     def chained(f0):
@@ -47,7 +64,8 @@ def main():
         acc = jnp.float32(0.0)
         for i in range(k):
             F = ume_from_ball_query(pts, f, kpts, radius=5.0, max_nn=750,
-                                    p_mask=pm, normalize=True)
+                                    p_mask=pm, normalize=True,
+                                    pallas=use_pallas)
             acc = acc + jnp.sum(F)
             # data-chain: next call's features depend on this call's output
             f = f + jnp.float32(1e-12) * acc
@@ -59,7 +77,8 @@ def main():
     @jax.jit
     def single(f0):
         F = ume_from_ball_query(pts, f0, kpts, radius=5.0, max_nn=750,
-                                p_mask=pm, normalize=True)
+                                p_mask=pm, normalize=True,
+                                pallas=use_pallas)
         return jnp.sum(F), jnp.sum(F * F)
 
     s = single(feats)

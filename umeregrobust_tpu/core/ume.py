@@ -31,6 +31,7 @@ __all__ = [
     "moment_matrix",
     "orthonormalize",
     "subspace_projection",
+    "projection_packed",
     "ume_pairwise_distance",
     "ume_distance",
     "estimate_rigid_from_ume",
@@ -96,6 +97,26 @@ def subspace_projection(F: jnp.ndarray) -> jnp.ndarray:
                       preferred_element_type=jnp.float32)
 
 
+def projection_packed(F: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric-packed projection vector with EXACT inner products.
+
+    P = Q Q^T is symmetric, so the d^2 flattening used for the pairwise-
+    distance cross matmul carries every off-diagonal entry twice. Packing
+    p = [diag(P) | sqrt(2) * offdiag(P)] keeps <p_i, p_j> == <P_i, P_j>
+    bit-for-bit up to fp rounding while shrinking the contraction dim
+    d^2 -> d(d+1)/2 (1024 -> 528 at d=32) — the matching cross matmul
+    (pipeline/matching.argmin_match) does ~half the MXU work for the
+    same distances.
+    """
+    P = subspace_projection(F)
+    d = P.shape[-1]
+    iu0, iu1 = jnp.triu_indices(d, k=1)
+    ar = jnp.arange(d)
+    diag = P[..., ar, ar]
+    off = P[..., iu0, iu1] * jnp.sqrt(jnp.float32(2.0))
+    return jnp.concatenate([diag, off], axis=-1)
+
+
 def ume_pairwise_distance(
     ume1: jnp.ndarray, ume2: jnp.ndarray
 ) -> jnp.ndarray:
@@ -104,8 +125,8 @@ def ume_pairwise_distance(
     Parity: reference utils/loc_utils.py:8-15 (ume_cdist), minus the batch
     dim (vmap for batching). ume1: (M, d, 4), ume2: (N, d, 4) -> (M, N).
     """
-    P1 = subspace_projection(ume1).reshape(ume1.shape[0], -1)  # (M, d*d)
-    P2 = subspace_projection(ume2).reshape(ume2.shape[0], -1)  # (N, d*d)
+    P1 = projection_packed(ume1)  # (M, d(d+1)/2), exact inner products
+    P2 = projection_packed(ume2)
     sq1 = jnp.sum(P1 * P1, axis=-1)  # (M,)
     sq2 = jnp.sum(P2 * P2, axis=-1)  # (N,)
     cross = jnp.matmul(P1, P2.T, precision=jax.lax.Precision.HIGHEST,

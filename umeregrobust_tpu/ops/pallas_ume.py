@@ -1,0 +1,138 @@
+"""Fused capped ball-query UME moment accumulation (Pallas TPU kernel).
+
+The XLA formulation (pipeline/ume_gen.ume_from_ball_query) materializes a
+(chunk, N) f32 distance matrix per keypoint chunk plus the mask / cumcount
+/ weight intermediates derived from it — at the reference operating point
+(10000 keypoints x 50176 points) that is ~6 HBM passes over ~100 MB per
+chunk, ~25-30 ms/pair of pure bandwidth for ~3 ms of MXU work. This kernel
+keeps every intermediate in VMEM: for each (keypoint block, point slice)
+tile it computes the distance tile on the MXU, applies the radius test and
+the first-`max_nn`-by-index cap (running per-keypoint count carried across
+point slices in VMEM scratch), and accumulates the moment matmul into the
+output block. HBM traffic is just the inputs once per keypoint block.
+
+Cap semantics are identical to the XLA path (PyTorch3D ball_query's
+first-K-in-index-order, reproduced with a within-slice triangular-matmul
+inclusive count + the carried slice-total prefix): masked points are
+parked FAR by the wrapper so they fail the radius test and never count.
+
+The moment matmul runs at Precision.HIGHEST like the XLA path: the weight
+operand is exactly representable (0/1), so only the Z side's bf16
+decomposition matters and HIGHEST keeps it f32-exact.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["ume_moments_fused"]
+
+
+def _kernel(kp_ref, pT_ref, z_ref, out_ref, cnt_ref, *,
+            r2, max_nn, bm, bn, n_slices):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    k = kp_ref[:]  # (bm, 4) keypoint block (xyz0)
+    p = pT_ref[:]  # (4, bn) point slice, transposed (masked rows FAR)
+    kk = jnp.sum(k * k, axis=1, keepdims=True)  # (bm, 1)
+    pp = jnp.sum(p * p, axis=0).reshape(1, bn)  # (1, bn)
+    kp = jax.lax.dot_general(
+        k, p, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (bm, bn)
+    d2 = kk + pp - 2.0 * kp
+    ok = (d2 <= r2).astype(jnp.bfloat16)  # FAR-parked masked rows fail
+
+    # within-slice inclusive count via upper-triangular matmul (exact:
+    # 0/1 products, f32 accumulation) + the carried previous-slice total
+    row = jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 1)
+    tri = (row <= col).astype(jnp.bfloat16)
+    cum_in = jax.lax.dot_general(
+        ok, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (bm, bn)
+    prev = cnt_ref[:, 0:1]  # (bm, 1) points seen in earlier slices
+    cum = cum_in + prev
+    w = jnp.where(cum <= jnp.float32(max_nn), ok.astype(jnp.float32), 0.0)
+    cnt_ref[:] = jnp.broadcast_to(prev + cum_in[:, bn - 1:bn],
+                                  cnt_ref.shape)
+
+    acc = jax.lax.dot_general(
+        w, z_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (bm, 4C)
+    out_ref[:] += acc
+
+
+@partial(jax.jit, static_argnames=("radius", "max_nn", "bm", "bn",
+                                   "interpret"))
+def ume_moments_fused(
+    kpts: jnp.ndarray,  # (M, 3) keypoints
+    pts: jnp.ndarray,  # (N, 3) cloud points
+    Z: jnp.ndarray,  # (N, 4C) moment payload [f | f*x | f*y | f*z]
+    p_mask: jnp.ndarray,  # (N,) validity (invalid rows never count)
+    radius: float,
+    max_nn: int,
+    bm: int = 256,
+    bn: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused UME moment matrices: (M, 4C) f32.
+
+    out[k] = sum_n w[k, n] * Z[n] with w = 1 iff |pts_n - kpts_k| <= radius
+    AND n is among the first max_nn such points in index order.
+    """
+    M, N = kpts.shape[0], pts.shape[0]
+    C4 = Z.shape[1]
+    mpad = (-M) % bm
+    k4 = jnp.concatenate(
+        [kpts.astype(jnp.float32),
+         jnp.zeros((M, 1), jnp.float32)], axis=1)
+    if mpad:
+        # padded keypoints at +FAR so they accumulate nothing
+        k4 = jnp.concatenate(
+            [k4, jnp.full((mpad, 4), jnp.float32(1e9)).at[:, 3].set(0.0)],
+            axis=0)
+    npad = (-N) % bn
+    p3 = jnp.where(p_mask[:, None], pts.astype(jnp.float32),
+                   jnp.float32(-1e9))  # FAR (opposite sign of kpt pad)
+    p4 = jnp.concatenate([p3, jnp.zeros((N, 1), jnp.float32)], axis=1)
+    if npad:
+        far = jnp.full((npad, 4), jnp.float32(-1e9)).at[:, 3].set(0.0)
+        p4 = jnp.concatenate([p4, far], axis=0)
+    Zp = Z.astype(jnp.float32)
+    if npad:
+        Zp = jnp.concatenate([Zp, jnp.zeros((npad, C4), jnp.float32)],
+                             axis=0)
+    Np = N + npad
+    kern = partial(_kernel, r2=float(radius) ** 2, max_nn=max_nn,
+                   bm=bm, bn=bn, n_slices=Np // bn)
+    out = pl.pallas_call(
+        kern,
+        grid=((M + mpad) // bm, Np // bn),
+        in_specs=[
+            pl.BlockSpec((bm, 4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, C4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, C4), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M + mpad, C4), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(k4, p4.T, Zp)
+    return out[:M]

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from umeregrobust_tpu.core.ume import subspace_projection
+from umeregrobust_tpu.core.ume import projection_packed
 
 __all__ = ["argmin_match", "probabilistic_match_filter", "hungarian_match"]
 
@@ -36,13 +36,17 @@ def argmin_match(
     subspace distance, plus that distance.
 
     ume_src: (M, d, 4), ume_tgt: (N, d, 4) -> (m (M,) int32, d (M,) fp32).
+
+    The cross term uses the symmetric-packed projection (core/ume.
+    projection_packed: contraction dim d(d+1)/2 instead of d^2, exact)
+    at Precision.HIGH — 3 bf16 passes instead of HIGHEST's 6, absolute
+    error ~1e-6 on inner products in [0, 4], far below any real distance
+    gap; together ~4x less MXU work than the d^2/HIGHEST formulation at
+    the 10000-keypoint reference operating point.
     """
-    P1 = subspace_projection(ume_src)
-    P2 = subspace_projection(ume_tgt)
-    M = P1.shape[0]
-    d2 = P1.shape[1] ** 2
-    A = P1.reshape(M, d2)
-    B = P2.reshape(P2.shape[0], d2)
+    A = projection_packed(ume_src)  # (M, d(d+1)/2)
+    B = projection_packed(ume_tgt)
+    M = A.shape[0]
     sq1 = jnp.sum(A * A, axis=-1)
     sq2 = jnp.sum(B * B, axis=-1)
     if tgt_mask is not None:
@@ -55,7 +59,7 @@ def argmin_match(
 
     def step(_, xs):
         a, s1 = xs
-        cross = jnp.matmul(a, B.T, precision=jax.lax.Precision.HIGHEST,
+        cross = jnp.matmul(a, B.T, precision=jax.lax.Precision.HIGH,
                            preferred_element_type=jnp.float32)
         dist2 = s1[:, None] + sq2[None, :] - 2.0 * cross
         j = jnp.argmin(dist2, axis=-1).astype(jnp.int32)
@@ -63,7 +67,7 @@ def argmin_match(
         return None, (j, dmin)
 
     _, (m, dmin) = jax.lax.scan(
-        step, None, (Ap.reshape(n_chunks, chunk, d2), s1p.reshape(n_chunks, chunk)))
+        step, None, (Ap.reshape(n_chunks, chunk, -1), s1p.reshape(n_chunks, chunk)))
     m = m.reshape(-1)[:M]
     dmin = dmin.reshape(-1)[:M]
     d = jnp.sqrt(jnp.maximum(dmin, 0.0)) / jnp.sqrt(2.0)

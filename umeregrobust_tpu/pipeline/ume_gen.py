@@ -27,7 +27,8 @@ import jax.numpy as jnp
 __all__ = ["ume_from_ball_query"]
 
 
-@partial(jax.jit, static_argnames=("radius", "max_nn", "normalize", "chunk"))
+@partial(jax.jit, static_argnames=("radius", "max_nn", "normalize", "chunk",
+                                   "pallas"))
 def ume_from_ball_query(
     pts: jnp.ndarray,
     feats: jnp.ndarray,
@@ -40,6 +41,7 @@ def ume_from_ball_query(
     center: bool = False,
     eps: float = 1e-6,
     chunk: int = 512,
+    pallas: bool = True,
 ) -> jnp.ndarray:
     """UME moment matrices for every keypoint.
 
@@ -68,6 +70,26 @@ def ume_from_ball_query(
     # Z = [f | f*x | f*y | f*z]  (N, 4C); column-major per moment so the
     # output reshape lands on [m0 | m1] directly.
     Z = jnp.concatenate([f, f * pts[:, 0:1], f * pts[:, 1:2], f * pts[:, 2:3]], axis=1)
+
+    if (pallas and not center and jax.default_backend() == "tpu"
+            and (4 * C) % 128 == 0):
+        # fused Pallas path: zero HBM intermediates (the XLA chunk loop
+        # below round-trips ~6 (chunk, N) passes per chunk — ~25 ms/pair
+        # at the 10000-kpt/50k-pt reference point); cap semantics and
+        # accumulation precision identical (ops/pallas_ume.py)
+        from umeregrobust_tpu.ops.pallas_ume import ume_moments_fused
+
+        pm = (p_mask if p_mask is not None
+              else jnp.ones((N,), bool))
+        F = ume_moments_fused(kpts.astype(jnp.float32), pts, Z, pm,
+                              radius=float(radius), max_nn=int(max_nn))
+        F = F.reshape(M, 4, C).transpose(0, 2, 1)
+        if normalize:
+            total = jnp.sum(F[:, :, 0], axis=-1, keepdims=True)[..., None]
+            F = F / (total + eps)
+        if k_mask is not None:
+            F = F * k_mask[:, None, None]
+        return F
 
     pad = (-M) % chunk
     kp = jnp.pad(kpts.astype(jnp.float32), ((0, pad), (0, 0)))
