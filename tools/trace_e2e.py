@@ -51,7 +51,9 @@ def main():
         # mirror bench.py's reference-regime cfg exactly
         SEM_CAP, CORR_CAP = 50176, 10240
         caps = (SEM_CAP, 37632, 18816, 9408, 3200)
-        cfg = RegistrationConfig(icp_dims=(768, 768, 96), icp_budget=24)
+        cfg = RegistrationConfig(icp_dims=(768, 768, 96), icp_budget=24,
+                                 corr_coarse_src=1024, corr_coarse_tgt=2048,
+                                 corr_rescore_top=8)
         scene_kw = dict(extent=50.0, ground_points=30000,
                         structure_points=60000)
         sem_points = 125000

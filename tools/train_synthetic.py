@@ -27,6 +27,15 @@ def main():
     ap.add_argument("--n-scenes", type=int, default=48)
     ap.add_argument("--resume", default="")
     ap.add_argument("--seed0", type=int, default=1000)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--low-overlap", action="store_true",
+                    help="add the low-overlap curriculum: lidar pairs at "
+                         "22-30 m sensor baselines with 150-180 deg "
+                         "rotations + up to 14 m translation — the regime "
+                         "where the reference's trained coloring network "
+                         "earns its LoKITTI numbers (VERDICT r3 #2); "
+                         "without it the UME-contrastive loss never sees "
+                         "sliver-overlap statistics")
     args = ap.parse_args()
 
     import jax
@@ -40,6 +49,7 @@ def main():
     from umeregrobust_tpu.train import TrainConfig, Trainer
 
     cfg = TrainConfig(
+        lr=args.lr,
         max_pc_size=args.pc_cap,
         batch_size=args.batch,
         ume_n_samples=128,
@@ -71,15 +81,47 @@ def main():
         dict(max_rotation_deg=180, max_translation=6.0),
         dict(max_rotation_deg=120, max_translation=12.0, sector_deg=300.0),
     ]
+    pools = [(scenes, regimes)]
+    if args.low_overlap:
+        # low-overlap curriculum: large sensor baselines (the two scans
+        # see mostly-disjoint surface slivers) x 150-180 deg rotations +
+        # large translations — the verylow/LoKITTI statistics. Scene
+        # params differ from the bench's (extent/point mix/seeds) so the
+        # benchmark stays unseen.
+        lo_scenes = [
+            SceneConfig(extent=24.0, ground_points=11000,
+                        structure_points=22000, n_boxes=18, n_walls=6,
+                        n_poles=10, observe_mode="lidar", baseline=22.0),
+            SceneConfig(extent=28.0, ground_points=12000,
+                        structure_points=20000, n_boxes=14, n_walls=5,
+                        n_poles=8, observe_mode="lidar", baseline=30.0),
+            SceneConfig(extent=26.0, ground_points=10000,
+                        structure_points=26000, n_boxes=24, n_walls=8,
+                        n_poles=14, observe_mode="lidar", baseline=26.0),
+        ]
+        lo_regimes = [
+            dict(max_rotation_deg=180, min_rotation_deg=150,
+                 max_translation=14.0),
+            dict(max_rotation_deg=180, min_rotation_deg=150,
+                 max_translation=10.0),
+            dict(max_rotation_deg=150, min_rotation_deg=100,
+                 max_translation=12.0),
+        ]
+        # interleave 1:1 — half the steps see the low-overlap regime
+        pools.append((lo_scenes, lo_regimes))
     print("building batches...", flush=True)
     batches = []
     for i in range(args.n_scenes // args.batch):
-        b = make_collated_batch(scenes[i % len(scenes)], n_pairs=args.batch,
+        sc, rg = pools[i % len(pools)]
+        b = make_collated_batch(sc[(i // len(pools)) % len(sc)],
+                                n_pairs=args.batch,
                                 max_pc_size=args.pc_cap, num_matches=256,
                                 seed=args.seed0 + i * args.batch,
-                                **regimes[i % len(regimes)])
+                                **rg[(i // len(pools)) % len(rg)])
+        nm = int(np.asarray(b["match_mask"]).sum())
         batches.append({k: jnp.asarray(v) for k, v in b.items()})
-        print(f"  batch {i+1}", flush=True)
+        print(f"  batch {i+1} (pool {i % len(pools)}, matches {nm})",
+              flush=True)
 
     tr = Trainer(cfg, "/tmp/synth_train")
     if args.resume and os.path.exists(args.resume):
