@@ -106,7 +106,7 @@ def main():
                          "lax.scan over the pair index (one-pair program "
                          "size, ONE launch for the whole suite). Default: "
                          "scan for reduced, unroll for reference.")
-    ap.add_argument("--unroll", type=int, default=2,
+    ap.add_argument("--unroll", type=int, default=0,
                     help="scan-mode unroll factor: duplicates the scan "
                          "body so XLA can interleave that many pairs "
                          "(program size ~ unroll)")
@@ -381,7 +381,11 @@ def main():
     FUSE_MODE = cli.fuse_mode or "scan"
     # 50k-caps scan keeps unroll=1 (program size ~ unroll; one pair is
     # already ~330 ms of device work, so interleaving buys little there)
-    UNROLL = max(1, cli.unroll) if cli.regime == "reduced" else 1
+    # regime defaults: 2 for reduced (interleaving overlaps the gather-
+    # rate-bound conv stack with the other pair's MXU/VPU work), 1 for
+    # reference (program size ~ unroll; explicit --unroll overrides)
+    UNROLL = cli.unroll if cli.unroll else (2 if cli.regime == "reduced"
+                                            else 1)
 
     @partial(jax.jit, static_argnames=())
     def run_idxk(keysK, idxs, *st):

@@ -33,7 +33,7 @@ __all__ = ["ume_moments_fused"]
 
 
 def _kernel(kp_ref, pT_ref, z_ref, out_ref, cnt_ref, *,
-            r2, max_nn, bm, bn, n_slices):
+            r2, max_nn, bm, bn, sub, n_slices):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -42,38 +42,45 @@ def _kernel(kp_ref, pT_ref, z_ref, out_ref, cnt_ref, *,
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
     k = kp_ref[:]  # (bm, 4) keypoint block (xyz0)
-    p = pT_ref[:]  # (4, bn) point slice, transposed (masked rows FAR)
     kk = jnp.sum(k * k, axis=1, keepdims=True)  # (bm, 1)
-    pp = jnp.sum(p * p, axis=0).reshape(1, bn)  # (1, bn)
-    kp = jax.lax.dot_general(
-        k, p, dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)  # (bm, bn)
-    d2 = kk + pp - 2.0 * kp
-    ok = (d2 <= r2).astype(jnp.bfloat16)  # FAR-parked masked rows fail
-
-    # within-slice inclusive count via upper-triangular matmul (exact:
-    # 0/1 products, f32 accumulation) + the carried previous-slice total
-    row = jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (bn, bn), 1)
+    # within-sub-slice inclusive count via upper-triangular matmul
+    # (exact: 0/1 products, f32 accumulation) + the carried prefix
+    row = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
     tri = (row <= col).astype(jnp.bfloat16)
-    cum_in = jax.lax.dot_general(
-        ok, tri, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (bm, bn)
-    prev = cnt_ref[:, 0:1]  # (bm, 1) points seen in earlier slices
-    cum = cum_in + prev
-    w = jnp.where(cum <= jnp.float32(max_nn), ok.astype(jnp.float32), 0.0)
-    cnt_ref[:] = jnp.broadcast_to(prev + cum_in[:, bn - 1:bn],
-                                  cnt_ref.shape)
 
-    acc = jax.lax.dot_general(
-        w, z_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)  # (bm, 4C)
-    out_ref[:] += acc
+    # the (bn,) point block is processed in `sub`-wide sub-slices so the
+    # triangular count matmul stays O(bm*bn*sub) while the Mosaic grid
+    # step count (measured ~1.5 us dispatch each) shrinks by bn/sub
+    for s in range(bn // sub):
+        p = pT_ref[:, s * sub:(s + 1) * sub]  # (4, sub), masked rows FAR
+        pp = jnp.sum(p * p, axis=0).reshape(1, sub)
+        kp = jax.lax.dot_general(
+            k, p, dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (bm, sub)
+        d2 = kk + pp - 2.0 * kp
+        ok = (d2 <= r2).astype(jnp.bfloat16)  # FAR-parked rows fail
+        cum_in = jax.lax.dot_general(
+            ok, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bm, sub)
+        prev = cnt_ref[:, 0:1]  # (bm, 1) points seen so far
+        cum = cum_in + prev
+        # (Mosaic rejects mixed bf16 x f32 matmul operands, so the 0/1
+        # weights stay f32 like the Z side)
+        w = jnp.where(cum <= jnp.float32(max_nn), ok.astype(jnp.float32),
+                      0.0)
+        cnt_ref[:] = jnp.broadcast_to(prev + cum_in[:, sub - 1:sub],
+                                      cnt_ref.shape)
+        acc = jax.lax.dot_general(
+            w, z_ref[s * sub:(s + 1) * sub, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (bm, 4C)
+        out_ref[:] += acc
 
 
-@partial(jax.jit, static_argnames=("radius", "max_nn", "bm", "bn",
+@partial(jax.jit, static_argnames=("radius", "max_nn", "bm", "bn", "sub",
                                    "interpret"))
 def ume_moments_fused(
     kpts: jnp.ndarray,  # (M, 3) keypoints
@@ -82,8 +89,9 @@ def ume_moments_fused(
     p_mask: jnp.ndarray,  # (N,) validity (invalid rows never count)
     radius: float,
     max_nn: int,
-    bm: int = 256,
-    bn: int = 512,
+    bm: int = 512,
+    bn: int = 2048,
+    sub: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused UME moment matrices: (M, 4C) f32.
@@ -114,8 +122,9 @@ def ume_moments_fused(
         Zp = jnp.concatenate([Zp, jnp.zeros((npad, C4), jnp.float32)],
                              axis=0)
     Np = N + npad
+    assert bn % sub == 0, (bn, sub)
     kern = partial(_kernel, r2=float(radius) ** 2, max_nn=max_nn,
-                   bm=bm, bn=bn, n_slices=Np // bn)
+                   bm=bm, bn=bn, sub=sub, n_slices=Np // bn)
     out = pl.pallas_call(
         kern,
         grid=((M + mpad) // bm, Np // bn),
