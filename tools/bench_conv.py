@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--cin", type=int, default=32)
     ap.add_argument("--cout", type=int, default=32)
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--centers", choices=("rand", "affine"), default="rand",
+                    help="center-index distribution: 'rand' = sorted "
+                         "uniform (worst case), 'affine' = r + jitter "
+                         "(real code-sorted self-map statistics)")
     args = ap.parse_args()
 
     import jax
@@ -50,7 +54,13 @@ def main():
     w = jnp.asarray(rng.normal(size=(27, Cin, Cout)).astype(np.float32) * 0.1)
     # synthetic but realistic map stats: ~70% of slots valid, centers
     # roughly monotone (code-sorted levels give near-sorted anchors)
-    center = np.sort(rng.integers(0, N, size=(9, N)).astype(np.int32), axis=1)
+    if args.centers == "affine":
+        base = np.arange(N, dtype=np.int64)[None, :] + rng.integers(
+            -4, 5, size=(9, N))
+        center = np.clip(base, 0, N).astype(np.int32)
+    else:
+        center = np.sort(rng.integers(0, N, size=(9, N)).astype(np.int32),
+                         axis=1)
     masks = jnp.asarray(rng.random((9, 3, N)) < 0.7)
     patho = jnp.asarray(rng.random((9, N)) < 0.02)
     gmap = GroupedMap(center=jnp.asarray(center), masks=masks,
@@ -139,8 +149,44 @@ def main():
                                    preferred_element_type=jnp.float32)
         return out
 
+    # v5: pair-window prototype (TIMING ONLY, synthetic selection): one
+    # 8-slot window gather serves TWO consecutive outputs; per-output
+    # slot selection is a precomputed (2*4, 8) bf16 matrix applied as 8
+    # broadcast-FMAs. Halves gathered rows; measures whether the select
+    # overhead eats the row saving before any geometry-builder work.
+    N2 = N // 2
+    sel = jnp.asarray((rng.random((9, N2, 8, 8)) < 0.12).astype(np.float32)
+                      ).astype(cd)
+
+    def v5(f):
+        z = jnp.zeros((1, Cin), cd)
+        fc = f.astype(cd)
+        shifts = [jnp.concatenate([z] * (7 - k) + [fc] + [z] * (k + 1),
+                                  axis=0) for k in range(8)]
+        F8c = jnp.concatenate(shifts, axis=1)  # (N+8, 8Cin)
+        w3 = w.astype(cd).reshape(9, 3, Cin, Cout)
+        w4 = jnp.concatenate([w3, w3[:, 2:3]], axis=1).reshape(
+            9, 4 * Cin, Cout)
+        base = gmap.center[:, ::2]  # (9, N2) synthetic pair bases
+
+        def group(acc, xs):
+            w_g, b_g, s_g = xs
+            win = F8c[b_g].reshape(N2, 8, Cin)  # HALF the gathered rows
+            # x[n, a, c] = sum_k s_g[n, a, k] * win[n, k, c]
+            x = jnp.zeros((N2, 8, Cin), cd)
+            for k in range(8):
+                x = x + s_g[:, :, k, None] * win[:, None, k, :]
+            x4 = x.reshape(N, 4 * Cin)
+            out = acc + jnp.matmul(x4, w_g,
+                                   preferred_element_type=jnp.float32)
+            return out, None
+
+        acc0 = jnp.zeros((N, Cout), jnp.float32)
+        out, _ = jax.lax.scan(group, acc0, (w4, base, sel))
+        return out
+
     fns = {"v0_shipping": v0, "v1_slotdecomp": v1, "v2_pathofold": v2,
-           "v3_gatherfloor": v3, "v4_unrolled": v4}
+           "v3_gatherfloor": v3, "v4_unrolled": v4, "v5_pairwindow": v5}
     ref = None
     for name, fn in fns.items():
         jf = jax.jit(lambda f, fn=fn: jnp.sum(fn(f)))

@@ -48,8 +48,16 @@ class SEMConfig:
     # gaps) and samples uniformly over the whole patch area when the
     # neighborhood is planar (see tools/sweep_sem.py for the fidelity
     # comparison). Non-planar patches (poles, box edges) fall back to
-    # jitter around observed points only. Default stays "voxel" pending a
-    # recall A/B on the benchmark.
+    # jitter around observed points only.
+    #
+    # Recall A/B (r4, lidar-mode bench, `bench.py --sem-mode patch` vs
+    # default, 28 tuning + 28 holdout pairs): voxel NP=96.4% aggregate,
+    # patch NP=76.8% — patch LOSES 39 recall points in the low-overlap
+    # regimes (lowoverlap 100->57.1 tuning / 100->57.1 holdout, verylow
+    # 71.4->57.1 / 100->42.9). Synthesizing geometry across ring gaps
+    # plants plane samples the other scan never observes, which poisons
+    # UME moment sets exactly where overlap is scarce. Default stays
+    # "voxel" by measurement (BENCH_NOTES_r4.md).
     mode: str = "voxel"
     patch: float = 0.6
     # planarity gate: smallest/middle PCA eigenvalue ratio of the

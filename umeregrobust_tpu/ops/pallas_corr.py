@@ -56,7 +56,8 @@ def _kernel(pt_ref, f_ref, q_ref, g_ref, out_ref, *, inv_s2, r2):
         # with |coords| ~ 30 that puts O(10) error on the squared distances
         # and flips radius membership wholesale. The distance cross-term
         # must be full f32 (K=4, so the extra MXU passes are free next to
-        # the VPU work).
+        # the VPU work). Mosaic supports only DEFAULT/HIGHEST in-kernel
+        # (Precision.HIGH raises NotImplementedError in lowering).
         pq = jax.lax.dot_general(
             p, q, dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,

@@ -36,6 +36,8 @@ def _kernel(q_ref, p_ref, idx_ref, *, n_slices, ts, sl):
         # lanes instead of N x 128 (a (N, 4) f32 block still occupies full
         # (8, 128) tiles -> 25 MB at N=51200, over the 16 MB scoped limit)
         p = p_ref[:, pl.ds(s * sl, sl)]  # (4, sl)
+        # HIGHEST: Mosaic supports only DEFAULT/HIGHEST in-kernel, and
+        # 1-pass bf16 puts O(0.1 m) error on coordinates at LiDAR range
         pq = jax.lax.dot_general(
             q, p, dimension_numbers=(((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
