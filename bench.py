@@ -93,6 +93,11 @@ def main():
     ap.add_argument("--feat-copy", type=float, default=-1.0,
                     help="ablation: feature-copy NN radius (0 = exact "
                          "brute-force parity path)")
+    ap.add_argument("--icp-grid-scale", type=float, default=0.0,
+                    help="ablation: ICP dense-grid cell multiplier (grid "
+                         "table shrinks by scale^3 at the same physical "
+                         "box; queries stay exact given the escalated "
+                         "budget)")
     ap.add_argument("--fuse", type=int, default=0,
                     help="pairs fused per launch (default 8 reduced / 1 "
                          "reference; the axon tunnel costs ~160 ms "
@@ -217,7 +222,8 @@ def main():
             or cli.triage >= 0 or cli.icp_iter or cli.coarse_src
             or cli.rescore_top or cli.mr_iter or cli.consensus >= 0
             or cli.coarse_tgt or cli.triage_tgt or cli.icp_inner
-            or cli.feat_copy >= 0 or cli.triage_top or cli.kp_boost >= 0):
+            or cli.feat_copy >= 0 or cli.triage_top or cli.kp_boost >= 0
+            or cli.icp_grid_scale > 0):
         from dataclasses import replace
         kw = {}
         if cli.corr_mode:
@@ -259,6 +265,8 @@ def main():
             kw["icp_inner"] = cli.icp_inner
         if cli.feat_copy >= 0:
             kw["feat_copy_radius"] = cli.feat_copy if cli.feat_copy > 0 else None
+        if cli.icp_grid_scale > 0:
+            kw["icp_grid_scale"] = cli.icp_grid_scale
         cfg = replace(cfg, **kw)
         log(f"ablation overrides: {kw}")
     ckpt = cli.ckpt or os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -420,32 +428,49 @@ def main():
 
     # ICP exactness pre-check (VERDICT r1: surface + bound grid overflow):
     # the fine-stage dense-grid query is exact while every 3-z-cell window
-    # holds <= budget candidates. Measure the actual occupancy over all
-    # benchmark clouds and escalate the budget 8 -> 32 when violated.
-    worst_win, worst_box = 0, 0
-    for p in pairs:
-        pts = np.asarray(p["tgt"]["corr_pts"])[np.asarray(p["tgt"]["corr_mask"])]
-        cc = np.floor(pts / cfg.icp_max_corr).astype(np.int64)
+    # holds <= budget candidates. Measure the actual occupancy — at the
+    # SCALED cell the schedule really uses (icp_grid_scale) — over all
+    # benchmark clouds and escalate the budgets when violated.
+    import math as _math
+    cell_fine = cfg.icp_max_corr * cfg.icp_grid_scale
+    dims_fine = tuple(int(_math.ceil(d * cfg.icp_max_corr / cell_fine - 1e-6))
+                      for d in cfg.icp_dims)
+
+    def _occupancy(pts):
+        cc = np.floor(pts / cell_fine).astype(np.int64)
         cc -= cc.min(axis=0)
         dims = cc.max(axis=0) + 1
-        worst_box = max(worst_box, int(np.sum(
-            (cc >= cfg.icp_dims).any(axis=1))))
+        box_bad = int(np.sum((cc >= dims_fine).any(axis=1)))
         occ = np.zeros(dims, np.int32)
         np.add.at(occ, tuple(cc.T), 1)
         w = occ.copy()
         w[:, :, :-1] += occ[:, :, 1:]
         w[:, :, 1:] += occ[:, :, :-1]
-        worst_win = max(worst_win, int(w.max()))
-    log(f"icp grid occupancy: max_window_count={worst_win} "
-        f"box_overflow={worst_box}")
+        return int(w.max()), box_bad
+
+    worst_win, worst_box, worst_raw = 0, 0, 0
+    for p in pairs:
+        pts = np.asarray(p["tgt"]["corr_pts"])[np.asarray(p["tgt"]["corr_mask"])]
+        w, b = _occupancy(pts)
+        worst_win, worst_box = max(worst_win, w), max(worst_box, b)
+        if cfg.icp_raw_iter > 0 and "raw_pts" in p["tgt"]:
+            rp = np.asarray(p["tgt"]["raw_pts"])[np.asarray(p["tgt"]["raw_mask"])]
+            rw, rb = _occupancy(rp)
+            worst_raw, worst_box = max(worst_raw, rw), max(worst_box, rb)
+    log(f"icp grid occupancy: max_window_count={worst_win} raw={worst_raw} "
+        f"box_overflow={worst_box} (cell {cell_fine:g}, dims {dims_fine})")
+    from dataclasses import replace
     if worst_win > cfg.icp_budget:
-        from dataclasses import replace
         # smallest multiple of 8 covering the worst window — the exact-
         # stage gather volume is proportional to the budget (21 used to
         # escalate to 32; 24 is equally exact and 25% cheaper)
-        new_budget = min(-(-worst_win // 8) * 8, 64)
+        new_budget = min(-(-worst_win // 8) * 8, 128)
         cfg = replace(cfg, icp_budget=new_budget)
         log(f"escalated icp_budget -> {new_budget} (window max {worst_win})")
+    if worst_raw > cfg.icp_raw_budget:
+        new_raw = min(-(-worst_raw // 8) * 8, 128)
+        cfg = replace(cfg, icp_raw_budget=new_raw)
+        log(f"escalated icp_raw_budget -> {new_raw} (raw window max {worst_raw})")
     assert worst_win <= cfg.icp_budget, "icp budget still insufficient"
     assert worst_box == 0, "ICP grid box does not cover the benchmark clouds"
 

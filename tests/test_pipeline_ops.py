@@ -440,3 +440,65 @@ class TestStructBiasedKeypoints:
         frac_b = (kp_b[:, 2] > 0.5).mean()
         frac_u = (kp_u[:, 2] > 0.5).mean()
         assert frac_b > 2.0 * frac_u
+
+
+class TestIcpGridScale:
+    def test_scaled_cell_query_exact(self, rng):
+        """A grid built at cell = 2 * radius answers radius-bounded 1-NN
+        identically to cell = radius (the icp_grid_scale contract:
+        exactness only needs radius <= cell, ops/densegrid)."""
+        from umeregrobust_tpu.ops.densegrid import (
+            build_dense_grid, dense_nn_query, max_window_count)
+
+        p = rng.uniform(-5, 5, size=(900, 3)).astype(np.float32)
+        q = rng.uniform(-5, 5, size=(250, 3)).astype(np.float32)
+        r = 0.5
+        g1 = build_dense_grid(jnp.array(p), jnp.ones(900, bool), cell=r,
+                              dims=(32, 32, 32))
+        g2 = build_dense_grid(jnp.array(p), jnp.ones(900, bool), cell=2 * r,
+                              dims=(16, 16, 16))
+        b1 = int(max_window_count(g1))
+        b2 = int(max_window_count(g2))
+        d1, i1 = dense_nn_query(g1, jnp.array(q), radius=r, budget=b1)
+        d2, i2 = dense_nn_query(g2, jnp.array(q), radius=r, budget=b2)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-6)
+
+    def test_schedule_scale_matches_unit_scale(self, rng):
+        """refine_with_icp at icp_grid_scale=2 lands on the same transform
+        as scale=1 (budgets sized to the worst window at each cell)."""
+        from dataclasses import replace
+
+        from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair
+        from umeregrobust_tpu.pipeline.registration import (
+            RegistrationConfig, refine_with_icp)
+
+        pair = make_pair(SceneConfig(extent=15.0, ground_points=4000,
+                                     structure_points=8000, n_boxes=12,
+                                     n_walls=4, n_poles=6,
+                                     observe_mode="lidar", baseline=3.0),
+                         max_rotation_deg=30, max_translation=3.0, seed=7)
+        gt = pair["gt_tform"]
+        perm = rng.permutation(len(pair["src_pts"]))[:3000]
+        src = jnp.asarray(pair["src_pts"][perm])
+        tgt = jnp.asarray(pair["tgt_pts"][:3000])
+        m = jnp.ones((3000,), bool)
+        ang = np.radians(2.0)
+        dR = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        init = gt.copy()
+        init[:3, :3] = dR @ gt[:3, :3]
+        init[:3, 3] += np.array([0.2, -0.1, 0.05], np.float32)
+
+        # budgets must cover the worst 3-z-cell window at EACH cell size
+        # (32 at cell 0.4, 69 at cell 0.8 for this cloud — measured; the
+        # bench pre-check escalates budgets the same way)
+        base = RegistrationConfig(icp_max_corr=0.4, icp_max_iter=60,
+                                  icp_budget=40, icp_raw_iter=0,
+                                  icp_multires=0)
+        T_1, _, _ = refine_with_icp(base, jnp.asarray(init), src, m, tgt, m)
+        T_2, _, _ = refine_with_icp(replace(base, icp_grid_scale=2.0,
+                                            icp_budget=80),
+                                    jnp.asarray(init), src, m, tgt, m)
+        np.testing.assert_allclose(np.asarray(T_1), np.asarray(T_2),
+                                   atol=1e-5)

@@ -57,9 +57,10 @@ def _umeyama_hp(p, q, w):
 
 
 @partial(jax.jit,
-         static_argnames=("max_corr", "max_iter", "budget", "dims", "inner"))
+         static_argnames=("max_corr", "max_iter", "budget", "dims", "inner",
+                          "cell"))
 def _icp_loop(src, src_mask, grid_arrays, init_T, max_corr, max_iter, budget,
-              dims, inner=1):
+              dims, inner=1, cell=None):
     """inner > 1 enables candidate-set reuse: the per-iteration cost is the
     RANDOM candidate gather (9 windows x budget rows x #queries, ~3
     cycles/row on v5e — ~4 ms at 4096 queries / budget 32), while re-
@@ -72,7 +73,11 @@ def _icp_loop(src, src_mask, grid_arrays, init_T, max_corr, max_iter, budget,
     of the stages this is used on). max_iter counts sub-iterations; exits
     land on block boundaries, so up to inner-1 extra cheap sub-iterations
     may run."""
-    grid = DenseGrid(*grid_arrays, cell=max_corr, dims=dims)
+    # cell: the grid's actual cell size — may exceed max_corr when the
+    # caller indexed at a scaled cell (registration icp_grid_scale);
+    # queries stay radius-bounded at max_corr either way.
+    grid = DenseGrid(*grid_arrays, cell=max_corr if cell is None else cell,
+                     dims=dims)
     r2 = jnp.float32(max_corr) ** 2
 
     def corr_and_update(T):

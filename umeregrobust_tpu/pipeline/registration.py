@@ -19,6 +19,7 @@ jit (different point capacities).
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
@@ -148,6 +149,21 @@ class RegistrationConfig:
     # covers 77 m at 0.2 m cells — reference-regime scenes (100 m+ span)
     # need a larger box.
     icp_dims: Tuple[int, int, int] = (384, 384, 96)
+    # grid-cell multiplier: each ICP stage indexes its cloud at
+    # cell = stage_radius * icp_grid_scale over the SAME physical box
+    # (icp_dims * icp_max_corr), so the dense table shrinks by scale^3.
+    # Query exactness only needs radius <= cell (ops/densegrid
+    # build_dense_grid), so any scale >= 1 is exact given a sufficient
+    # window budget — the build's full passes over the (C+1,) run table
+    # are the dominant grid cost at reference caps (~12-14 ms/pair at
+    # 768x768x96; scale 2 cuts the table 8x). bench.py's occupancy
+    # pre-check measures worst-window counts at the SCALED cell and
+    # escalates budgets accordingly. Measured e2e at the reference
+    # point (BENCH_NOTES_r4): scale 2 is NET NEGATIVE (4.45 -> 4.12
+    # pairs/s) — the escalated query budget costs more than the
+    # smaller build saves. Default stays 1.0; the knob remains for
+    # denser clouds where the trade flips.
+    icp_grid_scale: float = 1.0
     # candidate-set reuse: each ICP step gathers the 9-window candidates
     # once and runs icp_inner Umeyama updates against the frozen set (the
     # gather is ~10x the cost of a re-rank on v5e; see
@@ -307,12 +323,23 @@ def refine_with_icp(
     from umeregrobust_tpu.ops.densegrid import build_dense_grid
     from umeregrobust_tpu.pipeline.icp import _icp_loop
 
-    dims = tuple(cfg.icp_dims)
+    # fixed physical box: icp_dims cells at the fine radius. Every stage
+    # covers this box; its cell is stage_radius * icp_grid_scale, its
+    # dims shrink to match (all static Python arithmetic at trace time).
+    fine = float(cfg.icp_max_corr)
+    box = tuple(d * fine for d in cfg.icp_dims)
 
-    def grid_arrays(pts, mask, cell):
+    def grid_for(radius):
+        cell = float(radius) * float(cfg.icp_grid_scale)
+        # ceil with a tolerance so box/cell == exact integer stays put
+        dims = tuple(int(math.ceil(b / cell - 1e-6)) for b in box)
+        return cell, dims
+
+    def grid_arrays(pts, mask, radius):
+        cell, dims = grid_for(radius)
         g = build_dense_grid(pts, mask, cell=cell, dims=dims)
         return (g.points, g.points_sorted, g.order, g.runs, g.origin,
-                g.overflow, g.wstart)
+                g.overflow, g.wstart), cell, dims
 
     stages = []
     if cfg.icp_coarse_corr is not None:
@@ -337,9 +364,9 @@ def refine_with_icp(
                        int(cfg.icp_raw_budget), raw_src_pts, raw_src_mask))
 
     rmse = fit = jnp.float32(0.0)
-    for arrays, corr, iters, budget, sp, smk in stages:
+    for (arrays, cell, dims), corr, iters, budget, sp, smk in stages:
         T, rmse, fit, _ = _icp_loop(sp, smk, arrays, T, corr, iters, budget,
-                                    dims, inner=int(cfg.icp_inner))
+                                    dims, inner=int(cfg.icp_inner), cell=cell)
     return T, rmse, fit
 
 
