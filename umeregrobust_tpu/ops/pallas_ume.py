@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["ume_moments_fused"]
 
 
-def _kernel(kp_ref, pT_ref, z_ref, out_ref, cnt_ref, *,
+def _kernel(kp_ref, pT_ref, z_ref, out_ref, cnt_ref, w_ref, *,
             r2, max_nn, bm, bn, sub, n_slices):
     j = pl.program_id(1)
 
@@ -48,48 +48,52 @@ def _kernel(kp_ref, pT_ref, z_ref, out_ref, cnt_ref, *,
         out_ref[:] = jnp.zeros_like(out_ref)
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
+    dn = (((1,), (0,)), ((), ()))
     k = kp_ref[:]  # (bm, 4) keypoint block (xyz0)
     kk = jnp.sum(k * k, axis=1, keepdims=True)  # (bm, 1)
+    # full-tile distance test in ONE matmul (small K=4 contraction, but
+    # issuing it once per tile instead of once per sub-slice keeps the
+    # MXU pipeline fed and the VPU math vectorized over (bm, bn))
+    p = pT_ref[:]  # (4, bn), masked rows FAR
+    pp = jnp.sum(p * p, axis=0).reshape(1, bn)
+    kp = jax.lax.dot_general(
+        k, p, dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (bm, bn)
+    ok = (kk + pp - 2.0 * kp <= r2).astype(jnp.bfloat16)  # FAR rows fail
+
     # within-sub-slice inclusive count via upper-triangular matmul
-    # (exact: 0/1 products, f32 accumulation) + the carried prefix
+    # (exact: 0/1 products, f32 accumulation) + the carried prefix; only
+    # this chain is sequential — the capped weights land in a (bm, bn)
+    # VMEM scratch so the moment matmul below runs at full tile width
     row = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
     tri = (row <= col).astype(jnp.bfloat16)
-
-    # the (bn,) point block is processed in `sub`-wide sub-slices so the
-    # triangular count matmul stays O(bm*bn*sub) while the Mosaic grid
-    # step count (measured ~1.5 us dispatch each) shrinks by bn/sub
+    prev = cnt_ref[:, 0:1]  # (bm, 1) points seen so far
     for s in range(bn // sub):
-        p = pT_ref[:, s * sub:(s + 1) * sub]  # (4, sub), masked rows FAR
-        pp = jnp.sum(p * p, axis=0).reshape(1, sub)
-        kp = jax.lax.dot_general(
-            k, p, dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # (bm, sub)
-        d2 = kk + pp - 2.0 * kp
-        ok = (d2 <= r2).astype(jnp.bfloat16)  # FAR-parked rows fail
+        ok_s = ok[:, s * sub:(s + 1) * sub]
         cum_in = jax.lax.dot_general(
-            ok, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+            ok_s, tri, dimension_numbers=dn,
             preferred_element_type=jnp.float32)  # (bm, sub)
-        prev = cnt_ref[:, 0:1]  # (bm, 1) points seen so far
-        cum = cum_in + prev
-        # 0/1 weights are EXACT in bf16; Z splits into hi + lo bf16
-        # halves (see module docstring) so two 1-pass matmuls replace
-        # the 6-pass HIGHEST one at the same error order
-        w = jnp.where(cum <= jnp.float32(max_nn), ok, jnp.bfloat16(0.0))
-        cnt_ref[:] = jnp.broadcast_to(prev + cum_in[:, sub - 1:sub],
-                                      cnt_ref.shape)
-        z = z_ref[s * sub:(s + 1) * sub, :]
-        z_hi = z.astype(jnp.bfloat16)
-        z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dn = (((1,), (0,)), ((), ()))
-        acc = jax.lax.dot_general(
-            w, z_hi, dimension_numbers=dn,
-            preferred_element_type=jnp.float32)  # (bm, 4C)
-        acc += jax.lax.dot_general(
-            w, z_lo, dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
-        out_ref[:] += acc
+        w_ref[:, s * sub:(s + 1) * sub] = jnp.where(
+            cum_in + prev <= jnp.float32(max_nn), ok_s, jnp.bfloat16(0.0))
+        prev = prev + cum_in[:, sub - 1:sub]
+    cnt_ref[:] = jnp.broadcast_to(prev, cnt_ref.shape)
+
+    # 0/1 weights are EXACT in bf16; Z splits into hi + lo bf16 halves
+    # (see module docstring) so two 1-pass K=bn matmuls replace the
+    # 6-pass HIGHEST one at the same error order
+    z = z_ref[:]
+    z_hi = z.astype(jnp.bfloat16)
+    z_lo = (z - z_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    w = w_ref[:]
+    acc = jax.lax.dot_general(
+        w, z_hi, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)  # (bm, 4C)
+    acc += jax.lax.dot_general(
+        w, z_lo, dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    out_ref[:] += acc
 
 
 @partial(jax.jit, static_argnames=("radius", "max_nn", "bm", "bn", "sub",
@@ -151,7 +155,8 @@ def ume_moments_fused(
         out_specs=pl.BlockSpec((bm, C4), lambda i, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M + mpad, C4), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, 128), jnp.float32),
+                        pltpu.VMEM((bm, bn), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
