@@ -185,8 +185,33 @@ def main():
         out, _ = jax.lax.scan(group, acc0, (w4, base, sel))
         return out
 
+    def v6(f):
+        # TRUE patho fold: slot-2's input column becomes
+        # m2 * wide[:, 2] + patho * wide[:, 1] (exact — masks guarantee
+        # m2 == 0 whenever patho), so the matmul stays K = 3Cin and the
+        # 4th K-block + its concat disappear.
+        F3c = _table(f)
+        w3 = w.astype(cd).reshape(9, 3, Cin, Cout)
+
+        def group(acc, xs):
+            w_g, c_g, m_g, p_g = xs
+            wide = F3c[c_g].reshape(N, 3, Cin)
+            masked = wide * m_g.T[:, :, None].astype(cd)
+            mid = masked[:, 2] + wide[:, 1] * p_g[:, None].astype(cd)
+            x3 = jnp.concatenate(
+                [masked[:, 0], masked[:, 1], mid], axis=1)
+            out = acc + jnp.matmul(x3, w_g.reshape(3 * Cin, Cout),
+                                   preferred_element_type=jnp.float32)
+            return out, None
+
+        acc0 = jnp.zeros((N, Cout), jnp.float32)
+        out, _ = jax.lax.scan(group, acc0,
+                              (w3, gmap.center, gmap.masks, gmap.patho))
+        return out
+
     fns = {"v0_shipping": v0, "v1_slotdecomp": v1, "v2_pathofold": v2,
-           "v3_gatherfloor": v3, "v4_unrolled": v4, "v5_pairwindow": v5}
+           "v3_gatherfloor": v3, "v4_unrolled": v4, "v5_pairwindow": v5,
+           "v6_truefold": v6}
     ref = None
     for name, fn in fns.items():
         jf = jax.jit(lambda f, fn=fn: jnp.sum(fn(f)))

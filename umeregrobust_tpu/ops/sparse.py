@@ -505,10 +505,12 @@ def sparse_conv_grouped(
     # slot-ordered weights: slot p (ascending input row) applies tap
     # worder[p] (identity for convs, z-flip for transposed convs); the
     # case-B patho correction (slot-2 tap weights applied to the slot-1
-    # input) rides as a 4th K-block so each group is ONE matmul
+    # input) folds into the slot-2 input column — EXACT because the
+    # GroupedMap invariant guarantees masks[2] == 0 whenever patho, so
+    # mid = m2 * wide[2] + patho * wide[1] never mixes both terms and
+    # each group stays ONE K = 3Cin matmul (no 4th K-block concat)
     w3 = weights.astype(compute_dtype).reshape(G, 3, Cin, Cout)[
         :, gmap.worder]
-    w4 = jnp.concatenate([w3, w3[:, 2:3]], axis=1)  # (G, 4, Cin, Cout)
 
     def group(acc, xs):
         w_g, c_g, m_g, p_g = xs
@@ -517,15 +519,15 @@ def sparse_conv_grouped(
         # materialized ~2x the conv's HBM traffic (tools/bench_conv.py:
         # 4.9 -> 4.2 ms at reference L0, gather floor 3.9)
         masked = wide * m_g.T[:, :, None].astype(compute_dtype)
-        corr = wide[:, 1:2] * p_g[:, None, None].astype(compute_dtype)
-        x4 = jnp.concatenate([masked, corr], axis=1).reshape(N_out, 4 * Cin)
-        out = acc + jnp.matmul(x4, w_g.reshape(4 * Cin, Cout),
+        mid = masked[:, 2] + wide[:, 1] * p_g[:, None].astype(compute_dtype)
+        x3 = jnp.concatenate([masked[:, 0], masked[:, 1], mid], axis=1)
+        out = acc + jnp.matmul(x3, w_g.reshape(3 * Cin, Cout),
                                preferred_element_type=jnp.float32)
         return out, None
 
     acc0 = jnp.zeros((N_out, Cout), jnp.float32)
     out, _ = jax.lax.scan(group, acc0,
-                          (w4, gmap.center, gmap.masks, gmap.patho))
+                          (w3, gmap.center, gmap.masks, gmap.patho))
     if bias is not None:
         out = out + bias.astype(jnp.float32)[None, :]
     return out
