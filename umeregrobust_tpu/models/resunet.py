@@ -230,10 +230,18 @@ def _geometry_fast(levels: List[Level], arch: ArchSpec, ts: List[int]):
             enc = jnp.full((27 * N,), jnp.int32(-1)).at[
                 enc_dst.reshape(-1)].set(a_rows.reshape(-1), mode="drop")
             enc_maps[lv] = enc.reshape(27, N)
-            dec_dst = jnp.where(hit, kidx * Nf + a_rows, jnp.int32(27 * Nf))
-            dec = jnp.full((27 * Nf,), jnp.int32(-1)).at[
-                dec_dst.reshape(-1)].set(brow.reshape(-1), mode="drop")
-            dec_maps[L - 1 - lv] = dec.reshape(27, Nf)
+            # dec is FINE-indexed, so no inversion is needed: each lane
+            # contributes at most one tap per fine row and lanes hit
+            # disjoint taps, so a fused compare-select over the 27 tap
+            # rows replaces the random-write scatter (TPU scatters
+            # serialize; this is a straight VPU pass over the table)
+            taps = jnp.arange(27, dtype=jnp.int32)[:, None]
+            dec = jnp.full((27, Nf), jnp.int32(-1))
+            for lane in range(brow.shape[0]):
+                dec = jnp.where((kidx[lane][None, :] == taps)
+                                & hit[lane][None, :],
+                                brow[lane][None, :], dec)
+            dec_maps[L - 1 - lv] = dec
             enc_g[lv] = group_kernel_map(enc_maps[lv], 3)
             dec_g[L - 1 - lv] = group_kernel_map(
                 dec_maps[L - 1 - lv], 3, z_reversed=True)
