@@ -64,6 +64,10 @@ def _kernel(pt_ref, f_ref, q_ref, g_ref, out_ref, *, inv_s2, r2):
             preferred_element_type=jnp.float32)  # (Ts, Tt)
         pp = jnp.sum(p * p, axis=1, keepdims=True)  # (Ts, 1)
         d2 = pp + qq - 2.0 * pq
+        # NOTE: pl.reciprocal(approx=True) for the Cauchy weight was
+        # measured perf-NEUTRAL e2e at the reference point (4.94 -> 4.91
+        # pairs/s, noise) — the divide is not this kernel's bottleneck —
+        # so the exact divide stays for tighter score parity.
         w = jnp.where(d2 <= r2, 1.0 / (1.0 + d2 * inv_s2), 0.0)
         rows.append(jnp.sum(w * gt, axis=0, keepdims=True))  # (1, Tt)
     block = jnp.concatenate(rows, axis=0)  # (HB, Tt)

@@ -28,7 +28,6 @@ __all__ = ["nn1_argmin"]
 
 def _kernel(q_ref, p_ref, idx_ref, *, n_slices, ts, sl):
     q = q_ref[:]  # (ts, 4) query block
-    qq = jnp.sum(q * q, axis=1, keepdims=True)  # (ts, 1)
 
     def body(s, carry):
         best_d2, best_ix = carry
@@ -36,14 +35,14 @@ def _kernel(q_ref, p_ref, idx_ref, *, n_slices, ts, sl):
         # lanes instead of N x 128 (a (N, 4) f32 block still occupies full
         # (8, 128) tiles -> 25 MB at N=51200, over the 16 MB scoped limit)
         p = p_ref[:, pl.ds(s * sl, sl)]  # (4, sl)
-        # HIGHEST: Mosaic supports only DEFAULT/HIGHEST in-kernel, and
-        # 1-pass bf16 puts O(0.1 m) error on coordinates at LiDAR range
-        pq = jax.lax.dot_general(
-            q, p, dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)  # (ts, sl)
-        pp = jnp.sum(p * p, axis=0).reshape(1, -1)  # (1, sl)
-        d2 = qq + pp - 2.0 * pq
+        # direct squared differences: the K=4 HIGHEST matmul form costs
+        # 6 MXU passes at 4/128 systolic-depth utilization; three
+        # broadcast (q - p)^2 FMAs on the VPU are cheaper AND match the
+        # brute-force oracle's formula exactly (no |q||p| cancellation)
+        d2 = jnp.zeros((ts, sl), jnp.float32)
+        for c in range(3):
+            diff = q[:, c:c + 1] - p[c:c + 1, :]
+            d2 += diff * diff
         m = jnp.min(d2, axis=1, keepdims=True)  # (ts, 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         ix = jnp.min(jnp.where(d2 <= m, lane, jnp.int32(2 ** 30)),

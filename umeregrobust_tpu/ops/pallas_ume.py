@@ -50,17 +50,17 @@ def _kernel(kp_ref, pT_ref, z_ref, out_ref, cnt_ref, w_ref, *,
 
     dn = (((1,), (0,)), ((), ()))
     k = kp_ref[:]  # (bm, 4) keypoint block (xyz0)
-    kk = jnp.sum(k * k, axis=1, keepdims=True)  # (bm, 1)
-    # full-tile distance test in ONE matmul (small K=4 contraction, but
-    # issuing it once per tile instead of once per sub-slice keeps the
-    # MXU pipeline fed and the VPU math vectorized over (bm, bn))
     p = pT_ref[:]  # (4, bn), masked rows FAR
-    pp = jnp.sum(p * p, axis=0).reshape(1, bn)
-    kp = jax.lax.dot_general(
-        k, p, dimension_numbers=dn,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)  # (bm, bn)
-    ok = (kk + pp - 2.0 * kp <= r2).astype(jnp.bfloat16)  # FAR rows fail
+    # direct squared-difference distance test: the K=4 HIGHEST matmul
+    # form costs 6 MXU passes at 4/128 systolic-depth utilization; three
+    # broadcast (k - p)^2 FMAs on the VPU are cheaper AND more accurate
+    # (no |k||p| ~ 1e4 m^2 cancellation). FAR-parked rows (kpt pad +1e9,
+    # point pad/mask -1e9) give diff^2 >= 1e18 >> r2, so they still fail.
+    d2 = jnp.zeros((bm, bn), jnp.float32)
+    for c in range(3):
+        diff = k[:, c:c + 1] - p[c:c + 1, :]
+        d2 += diff * diff
+    ok = (d2 <= r2).astype(jnp.bfloat16)
 
     # within-sub-slice inclusive count via upper-triangular matmul
     # (exact: 0/1 products, f32 accumulation) + the carried prefix; only
