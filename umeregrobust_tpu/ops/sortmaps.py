@@ -85,12 +85,12 @@ def batched_sorted_lookup(
     same = (last_key >= 0) & (hi_s[safe] == hi_s) & (lo_s[safe] == lo_s)
     nbr = jnp.where(same, row_s[safe], jnp.int32(-1))
 
-    out = jnp.full((M,), jnp.int32(-1))
     dst = jnp.where(isq_s == 1, row_s, jnp.int32(M))
-    out = out.at[dst].set(nbr, mode="drop")
-    # invalid queries carry the sentinel and can only "match" nothing; the
-    # sentinel groups guarantee nbr == -1 there already.
-    return out
+    # sort-invert back to query order (see sorted_join_rank: a scatter
+    # here costs ~2.6x the sort). Invalid queries carry the sentinel and
+    # can only "match" nothing; nbr == -1 there already.
+    _, nbr_q = jax.lax.sort((dst, nbr), num_keys=1)
+    return nbr_q[:M]
 
 
 def sorted_join(
@@ -148,7 +148,9 @@ def sorted_join(
 
     q_row = pay_s & jnp.int32((1 << 30) - 1)
     dst = jnp.where(is_key, jnp.int32(M), q_row)
-    return jnp.full((M,), jnp.int32(-1)).at[dst].set(nbr, mode="drop")
+    # sort-invert back to query order (see sorted_join_rank)
+    _, nbr_q = jax.lax.sort((dst, nbr), num_keys=1)
+    return nbr_q[:M]
 
 
 # ---------------------------------------------------------------------------
@@ -220,7 +222,13 @@ def sorted_join_rank(key_code: jnp.ndarray, q_code: jnp.ndarray) -> jnp.ndarray:
     rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1
     q_row = pay_s & jnp.int32((1 << 30) - 1)
     dst = jnp.where(is_key, jnp.int32(M), q_row)
-    return jnp.full((M,), jnp.int32(-1)).at[dst].set(rank, mode="drop")
+    # invert back to query order with a SECOND SORT instead of a scatter:
+    # every query row appears exactly once in dst and keys (dst = M) sort
+    # after them, so the first M rows of the dst-sorted rank stream are
+    # the per-query ranks. A random-write scatter here measured ~2.6x the
+    # cost of the sort itself (trace_e2e at reference caps).
+    _, rank_q = jax.lax.sort((dst, rank), num_keys=1)
+    return rank_q[:M]
 
 
 def sorted_join_code(key_code: jnp.ndarray, q_code: jnp.ndarray) -> jnp.ndarray:
@@ -251,4 +259,6 @@ def sorted_join_code(key_code: jnp.ndarray, q_code: jnp.ndarray) -> jnp.ndarray:
 
     q_row = pay_s & jnp.int32((1 << 30) - 1)
     dst = jnp.where(is_key, jnp.int32(M), q_row)
-    return jnp.full((M,), jnp.int32(-1)).at[dst].set(nbr, mode="drop")
+    # sort-invert back to query order (see sorted_join_rank)
+    _, nbr_q = jax.lax.sort((dst, nbr), num_keys=1)
+    return nbr_q[:M]
