@@ -29,15 +29,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def build_parser():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--regime", choices=("reduced", "reference"),
-                    default="reduced",
+    ap.add_argument("--regime", choices=("reduced", "reference", "both"),
+                    default="both",
                     help="operating point: 'reduced' (16k voxels/2048 kpts/"
-                         "512 hyps, the perf headline) or 'reference' (the "
-                         "reference's own kitti_test settings: 50k voxels, "
-                         "10000 kpts, 2500 hyps, 10k corr, ICP 200@0.2 — "
-                         "test_kitti_config.yaml:7,13,18)")
+                         "2048 hyps — the recall-equivalent point), "
+                         "'reference' (the reference's own kitti_test "
+                         "settings: 50k voxels, 10000 kpts, 2500 hyps, 10k "
+                         "corr, ICP 200@0.2 — test_kitti_config.yaml:7,13,"
+                         "18), or 'both' (the default driver run: both "
+                         "operating points in one machine-readable JSON "
+                         "line, VERDICT r4 #7)")
     ap.add_argument("--pairs-per-regime", type=int, default=0,
                     help="override pairs per regime (default 7 reduced / 3 "
                          "reference)")
@@ -124,7 +127,12 @@ def main():
                          "NEVER used for knob tuning — the default run "
                          "reports both so tuning decisions are justified "
                          "against unseen pairs, VERDICT r3 #6)")
-    cli = ap.parse_args()
+    return ap
+
+
+def run_regime(cli, regime):
+    """Run the full benchmark at one operating point; returns a dict with
+    throughput + recall (JSON printing happens in main)."""
     import jax
     import jax.numpy as jnp
 
@@ -162,7 +170,7 @@ def main():
                         min_rotation_deg=150, max_translation=14.0),
     }
     arch = ARCHS["ResUNetSmall2"]
-    if cli.regime == "reference":
+    if regime == "reference":
         # the reference's own kitti_test operating point
         # (configs/benchmarks/test_kitti_config.yaml:7,13,18 and
         # evaluate.py:196,304): max_pc_size 50000, 10000 init keypoints,
@@ -254,12 +262,14 @@ def main():
             kw["corr_rescore_top"] = cli.rescore_top
         if cli.consensus >= 0:
             kw["consensus_cands"] = cli.consensus
-            # rescore_top=4 is tuned WITH the consensus arbiter re-scoring
-            # the polished winner set; a consensus-off ablation must not
-            # silently also weaken the exact-rescore stage (ADVICE r3) —
-            # restore the standalone-tuned 16 unless explicitly overridden
+            # corr_rescore_top is tuned WITH the consensus arbiter
+            # re-scoring the polished winner set (4 reduced / 8 reference);
+            # a consensus-off ablation must not silently also weaken the
+            # exact-rescore stage (ADVICE r3/r4) — whenever consensus was
+            # ON in the base cfg, restore the standalone-tuned 16 unless
+            # explicitly overridden
             if cli.consensus == 0 and not cli.rescore_top \
-                    and cfg.corr_rescore_top == 4:
+                    and cfg.consensus_cands > 0:
                 kw["corr_rescore_top"] = 16
         if cli.icp_inner:
             kw["icp_inner"] = cli.icp_inner
@@ -375,7 +385,7 @@ def main():
     # dispatch that does NOT overlap device compute (jax.profiler trace,
     # BENCH_NOTES_r3: fused-2 device time is 154 ms while the bench loop
     # spends 314 ms/launch). Fusing K pairs divides that fixed cost by K.
-    FUSE_K = cli.fuse if cli.fuse else (8 if cli.regime == "reduced" else 1)
+    FUSE_K = cli.fuse if cli.fuse else (8 if regime == "reduced" else 1)
     # scan-mode now covers the reference point too (VERDICT r3 #1: the
     # one-pair unroll paid a ~30-160 ms launch + fetch per pair — ~15% of
     # wall at 50k caps); the whole suite runs in ONE launch either way
@@ -392,7 +402,7 @@ def main():
     # regime defaults: 2 for reduced (interleaving overlaps the gather-
     # rate-bound conv stack with the other pair's MXU/VPU work), 1 for
     # reference (program size ~ unroll; explicit --unroll overrides)
-    UNROLL = cli.unroll if cli.unroll else (2 if cli.regime == "reduced"
+    UNROLL = cli.unroll if cli.unroll else (2 if regime == "reduced"
                                             else 1)
 
     @partial(jax.jit, static_argnames=())
@@ -430,45 +440,30 @@ def main():
     # the fine-stage dense-grid query is exact while every 3-z-cell window
     # holds <= budget candidates. Measure the actual occupancy — at the
     # SCALED cell the schedule really uses (icp_grid_scale) — over all
-    # benchmark clouds and escalate the budgets when violated.
-    import math as _math
-    cell_fine = cfg.icp_max_corr * cfg.icp_grid_scale
-    dims_fine = tuple(int(_math.ceil(d * cfg.icp_max_corr / cell_fine - 1e-6))
-                      for d in cfg.icp_dims)
-
-    def _occupancy(pts):
-        cc = np.floor(pts / cell_fine).astype(np.int64)
-        cc -= cc.min(axis=0)
-        dims = cc.max(axis=0) + 1
-        box_bad = int(np.sum((cc >= dims_fine).any(axis=1)))
-        occ = np.zeros(dims, np.int32)
-        np.add.at(occ, tuple(cc.T), 1)
-        w = occ.copy()
-        w[:, :, :-1] += occ[:, :, 1:]
-        w[:, :, 1:] += occ[:, :, :-1]
-        return int(w.max()), box_bad
+    # benchmark clouds and escalate the budgets when violated. Shared code
+    # path with the CLI (pipeline/exactness.py, VERDICT r4 #5).
+    from umeregrobust_tpu.pipeline.exactness import (
+        escalated_budget, fine_grid_geometry, window_occupancy)
+    cell_fine, dims_fine = fine_grid_geometry(cfg)
 
     worst_win, worst_box, worst_raw = 0, 0, 0
     for p in pairs:
         pts = np.asarray(p["tgt"]["corr_pts"])[np.asarray(p["tgt"]["corr_mask"])]
-        w, b = _occupancy(pts)
+        w, b = window_occupancy(pts, cell_fine, dims_fine)
         worst_win, worst_box = max(worst_win, w), max(worst_box, b)
         if cfg.icp_raw_iter > 0 and "raw_pts" in p["tgt"]:
             rp = np.asarray(p["tgt"]["raw_pts"])[np.asarray(p["tgt"]["raw_mask"])]
-            rw, rb = _occupancy(rp)
+            rw, rb = window_occupancy(rp, cell_fine, dims_fine)
             worst_raw, worst_box = max(worst_raw, rw), max(worst_box, rb)
     log(f"icp grid occupancy: max_window_count={worst_win} raw={worst_raw} "
         f"box_overflow={worst_box} (cell {cell_fine:g}, dims {dims_fine})")
     from dataclasses import replace
     if worst_win > cfg.icp_budget:
-        # smallest multiple of 8 covering the worst window — the exact-
-        # stage gather volume is proportional to the budget (21 used to
-        # escalate to 32; 24 is equally exact and 25% cheaper)
-        new_budget = min(-(-worst_win // 8) * 8, 128)
+        new_budget = escalated_budget(worst_win, cfg.icp_budget)
         cfg = replace(cfg, icp_budget=new_budget)
         log(f"escalated icp_budget -> {new_budget} (window max {worst_win})")
     if worst_raw > cfg.icp_raw_budget:
-        new_raw = min(-(-worst_raw // 8) * 8, 128)
+        new_raw = escalated_budget(worst_raw, cfg.icp_raw_budget)
         cfg = replace(cfg, icp_raw_budget=new_raw)
         log(f"escalated icp_raw_budget -> {new_raw} (raw window max {worst_raw})")
     assert worst_win <= cfg.icp_budget, "icp budget still insufficient"
@@ -549,25 +544,58 @@ def main():
     rres, rtes = np.asarray(rres), np.asarray(rtes)
     tags_a = np.asarray(tags)
     suites_a = np.asarray(suites)
+    per_regime = {}
     for sname in dict.fromkeys(suites):
         for rname in REGIMES:
             m = (tags_a == rname) & (suites_a == sname)
             sp_r = float(((rres[m] <= 1.0) & (rtes[m] <= 0.1)).mean())
             np_rr = float(((rres[m] <= 1.5) & (rtes[m] <= 0.6)).mean())
+            per_regime[f"{sname}/{rname}"] = (np_rr, sp_r)
             log(f"  [{sname:7s}] regime {rname:10s}: NP={100*np_rr:5.1f}% "
                 f"SP={100*sp_r:5.1f}% ({int(m.sum())} pairs)")
     sp = float(((rres <= 1.0) & (rtes <= 0.1)).mean())
     np_r = float(((rres <= 1.5) & (rtes <= 0.6)).mean())
     log(f"synthetic recall: NP={100*np_r:.1f}% SP={100*sp:.1f}% | "
         f"{pps:.3f} pairs/s ({len(pairs)} pairs in {wall:.2f}s)")
-    metric = ("reg_pairs_per_sec" if cli.regime == "reduced"
-              else "reg_pairs_per_sec_reference")
-    print(json.dumps({
-        "metric": metric,
-        "value": round(pps, 4),
-        "unit": "pairs/s",
-        "vs_baseline": round(pps / 50.0, 5),
-    }))
+    return {"pps": pps, "np": np_r, "sp": sp, "n_pairs": len(pairs),
+            "wall": wall, "per_regime": per_regime}
+
+
+def main():
+    cli = build_parser().parse_args()
+    if cli.regime == "both":
+        # the driver run: BOTH operating points, machine-readable
+        # (VERDICT r4 missing #5 / next #7). Headline value stays the
+        # reduced (recall-equivalent) point; the reference point rides
+        # in the same JSON line.
+        red = run_regime(cli, "reduced")
+        ref = run_regime(cli, "reference")
+        print(json.dumps({
+            "metric": "reg_pairs_per_sec",
+            "value": round(red["pps"], 4),
+            "unit": "pairs/s",
+            "vs_baseline": round(red["pps"] / 50.0, 5),
+            "reduced": {"pairs_per_sec": round(red["pps"], 4),
+                        "np_recall": round(red["np"], 4),
+                        "sp_recall": round(red["sp"], 4),
+                        "n_pairs": red["n_pairs"]},
+            "reference": {"pairs_per_sec": round(ref["pps"], 4),
+                          "np_recall": round(ref["np"], 4),
+                          "sp_recall": round(ref["sp"], 4),
+                          "n_pairs": ref["n_pairs"]},
+        }))
+    else:
+        res = run_regime(cli, cli.regime)
+        metric = ("reg_pairs_per_sec" if cli.regime == "reduced"
+                  else "reg_pairs_per_sec_reference")
+        print(json.dumps({
+            "metric": metric,
+            "value": round(res["pps"], 4),
+            "unit": "pairs/s",
+            "vs_baseline": round(res["pps"] / 50.0, 5),
+            "np_recall": round(res["np"], 4),
+            "sp_recall": round(res["sp"], 4),
+        }))
 
 
 if __name__ == "__main__":

@@ -201,3 +201,18 @@ def test_yaml_style_boolean_overrides():
     args = _args(["filter_by_ume_dist_cond=true", "icp_coarse_corr=null"])
     assert args.filter_by_ume_dist_cond is True
     assert args.icp_coarse_corr is None
+
+
+def test_canonical_spelling_override_wins_over_yaml_alias():
+    """ADVICE r4 (medium): --set filter_by_ume_dist=false (the CANONICAL
+    dataclass field name) must not be shadowed by the YAML's alias attr
+    filter_by_ume_dist_cond — an explicitly-set canonical key wins."""
+    args = _args(["filter_by_ume_dist=false"])
+    # the YAML alias is still present on the namespace (set true there)
+    assert args.filter_by_ume_dist_cond is True
+    cfg = _registration_cfg(args)
+    assert cfg.filter_by_ume_dist is False
+    assert cfg.num_init_keypoints == cfg.ume_n_samples
+    # and without the explicit override, the alias still applies
+    cfg = _registration_cfg(_args([]))
+    assert cfg.filter_by_ume_dist is True

@@ -131,7 +131,12 @@ def _registration_cfg(args) -> RegistrationConfig:
     for f in fields(RegistrationConfig):
         yaml_name = next((k for k, v in _CFG_ALIASES.items()
                           if v == f.name), f.name)
-        if hasattr(args, yaml_name):
+        # an explicit --set of the CANONICAL spelling must win over the
+        # alias attr the YAML set (else `--set filter_by_ume_dist=false`
+        # is silently shadowed by filter_by_ume_dist_cond — ADVICE r4)
+        if f.name in explicit and hasattr(args, f.name):
+            kw[f.name] = _coerce_field(hints[f.name], getattr(args, f.name))
+        elif hasattr(args, yaml_name):
             kw[f.name] = _coerce_field(hints[f.name],
                                        getattr(args, yaml_name))
         elif hasattr(args, f.name):
@@ -199,6 +204,16 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
     """
     arch, params, state = _load_model(args)
     reg_cfg = _registration_cfg(args)
+    # ICP dense-grid exactness pre-check (shared with bench.py,
+    # pipeline/exactness.py — VERDICT r4 #5): each pair's target clouds
+    # are occupancy-measured during prep; the budget escalates (one
+    # recompile) the first time a pair would violate the exact-query
+    # condition, and overflow telemetry prints at the end of the run.
+    from umeregrobust_tpu.pipeline.exactness import (
+        escalated_budget, fine_grid_geometry, window_occupancy)
+    cell_fine, dims_fine = fine_grid_geometry(reg_cfg)
+    occ_stats = {"worst_win": 0, "worst_raw": 0, "box_pts": 0,
+                 "box_pairs": 0, "escalations": []}
     sem_cap = int(args.max_pc_size)
     corr_cap = int(args.pc_corr_max_size)
     caps = tuple(int(-(-int(sem_cap * r) // 128) * 128)
@@ -248,8 +263,14 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
             raws = (rs_p, rs_m, rt_p, rt_m)
         else:
             raws = None
+        # exactness telemetry on the ICP target clouds (valid rows only)
+        win, box = window_occupancy(ct_p[ct_m], cell_fine, dims_fine)
+        raw_win = 0
+        if use_raw:
+            rw, rb = window_occupancy(raws[2][raws[3]], cell_fine, dims_fine)
+            raw_win, box = rw, box + rb
         return (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, raws,
-                pair["gt_tform"])
+                pair["gt_tform"], (win, raw_win, box))
 
     rre_list, rte_list = [], []
     t_start = None
@@ -300,7 +321,8 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
         from umeregrobust_tpu.pipeline.registration import (
             register_pair_hungarian)
 
-        (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, raws, gt) = item
+        (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, raws, gt,
+         _occ) = item
         sf, tf, csf, ctf = pair_features_e2e(
             params, state, arch, caps,
             jnp.asarray(sc), jnp.asarray(sp), jnp.asarray(sm),
@@ -327,7 +349,34 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
             prep_one, enumerate(prefetch(pair_iter, depth=4)),
             workers=4, depth=6)):
         k_pair = pair_keys[i % len(pair_keys)]
-        (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, raws, gt) = item
+        (sc, sp, sm, tc, tp, tm, cs_p, cs_m, ct_p, ct_m, raws, gt,
+         occ) = item
+        win, raw_win, box = occ
+        occ_stats["worst_win"] = max(occ_stats["worst_win"], win)
+        occ_stats["worst_raw"] = max(occ_stats["worst_raw"], raw_win)
+        if box:
+            occ_stats["box_pts"] += box
+            occ_stats["box_pairs"] += 1
+        # escalate BEFORE dispatching this pair: the exact-query condition
+        # (every 3-z-cell window <= budget) must hold for the program that
+        # processes it. One recompile per escalation; budgets only grow.
+        from dataclasses import replace as _replace
+        if win > reg_cfg.icp_budget:
+            nb = escalated_budget(win, reg_cfg.icp_budget)
+            occ_stats["escalations"].append(
+                f"pair {i}: icp_budget {reg_cfg.icp_budget}->{nb} "
+                f"(window max {win})")
+            print(f"escalated icp_budget -> {nb} (pair {i} window max "
+                  f"{win}; recompiling)", flush=True)
+            reg_cfg = _replace(reg_cfg, icp_budget=nb)
+        if raw_win > reg_cfg.icp_raw_budget and use_raw:
+            nb = escalated_budget(raw_win, reg_cfg.icp_raw_budget)
+            occ_stats["escalations"].append(
+                f"pair {i}: icp_raw_budget {reg_cfg.icp_raw_budget}->{nb} "
+                f"(raw window max {raw_win})")
+            print(f"escalated icp_raw_budget -> {nb} (pair {i} raw window "
+                  f"max {raw_win}; recompiling)", flush=True)
+            reg_cfg = _replace(reg_cfg, icp_raw_budget=nb)
         if hungarian:
             T_ref = run_hungarian(k_pair, item, i)
         else:
@@ -361,6 +410,22 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
 
     rr = np.asarray(rre_list)
     tt = np.asarray(rte_list)
+    # exactness telemetry (mirrors bench.py's pre-run report; here the
+    # clouds stream, so the report aggregates what was actually seen)
+    print(f"icp grid occupancy: max_window_count={occ_stats['worst_win']} "
+          f"raw={occ_stats['worst_raw']} "
+          f"box_overflow_points={occ_stats['box_pts']} "
+          f"({occ_stats['box_pairs']} pairs) | final budgets "
+          f"icp_budget={reg_cfg.icp_budget} "
+          f"icp_raw_budget={reg_cfg.icp_raw_budget}"
+          + (f" | escalations: {'; '.join(occ_stats['escalations'])}"
+             if occ_stats["escalations"] else ""), flush=True)
+    if occ_stats["box_pairs"]:
+        print(f"WARNING: {occ_stats['box_pts']} target points across "
+              f"{occ_stats['box_pairs']} pairs fell outside the ICP grid "
+              f"box (icp_dims {reg_cfg.icp_dims}) and were not "
+              f"correspondence candidates — grow icp_dims via "
+              f"--set icp_dims=X,Y,Z for full exactness", flush=True)
     return {
         "np_recall": float(((rr <= 1.5) & (tt <= 0.6)).mean()),
         "sp_recall": float(((rr <= 1.0) & (tt <= 0.1)).mean()),
@@ -368,6 +433,7 @@ def evaluate_pairs(args, pair_iter, n_pairs: int) -> Dict[str, float]:
         "mean_rte": float(tt.mean()),
         "pairs_per_sec": float(max(len(rr) - 1, 1) / wall),
         "n_pairs": len(rr),
+        "icp_exactness": dict(occ_stats),
     }
 
 

@@ -10,9 +10,12 @@ VPU work. This kernel keeps the distance tile in VMEM: per query block,
 it sweeps the reference cloud in lane-width slices, maintaining a running
 (min d2, argmin) pair — zero HBM intermediates, output is just (M,) idx.
 
-Exactness: identical formula to pairwise_sqdist (|p|^2 + |q|^2 - 2 p.q,
-full-f32 cross term) and first-index tie-breaking, so results match the
-XLA path bitwise except on exact float ties across slice boundaries.
+Exactness: the kernel computes direct squared differences sum((q-p)^2)
+on the VPU (three broadcast FMAs), which rounds differently from the
+expanded |p|^2 + |q|^2 - 2 p.q form used by the XLA fallback
+(copy_features_to_raw) — argmin indices can flip only on near-exact
+float ties; measured 0 index mismatches vs brute force at 10240x50176.
+First-index tie-breaking within the kernel matches the XLA path.
 """
 from __future__ import annotations
 
