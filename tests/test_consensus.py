@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 
 from umeregrobust_tpu.core.transforms import (apply_transform,
-                                              random_rigid_transform)
+                                              random_rigid_transform,
+                                              relative_rotation_error)
 from umeregrobust_tpu.pipeline.consensus import consensus_refit
 
 
@@ -154,3 +155,124 @@ class TestExtraTs:
             np.testing.assert_allclose(np.asarray(best_T),
                                        pair["gt_tform"], atol=1e-5)
             assert scores.shape == (128,)
+
+
+class TestAdaptiveGate:
+    """consensus_gate_inliers (r5, VERDICT r4 #2a): the lax.cond-gated
+    rescue stack must (a) reproduce the always-on result exactly when the
+    gate fires (inlier ratio below threshold), and (b) return the pure
+    cascade winner when support is unimodal and the stack is skipped."""
+
+    def _inputs(self, rng, key, n=512, n_feat=16):
+        from umeregrobust_tpu.core.transforms import apply_transform
+        gt = np.asarray(random_rigid_transform(key, (), max_translation=4.0))
+        pts_s = rng.uniform(-10, 10, size=(n, 3)).astype(np.float32)
+        pts_t = (pts_s @ gt[:3, :3].T + gt[:3, 3]).astype(np.float32)
+        f = rng.normal(size=(n, n_feat)).astype(np.float32)
+        f /= np.linalg.norm(f, axis=1, keepdims=True)
+        mask = np.ones(n, bool)
+        return gt, (jnp.asarray(pts_s), jnp.asarray(f), jnp.asarray(mask),
+                    jnp.asarray(pts_t), jnp.asarray(f), jnp.asarray(mask))
+
+    def _run(self, cfg, key, arrs):
+        from umeregrobust_tpu.pipeline.registration import (
+            _hypotheses_and_select)
+        ps, fs, ms, pt, ft, mt = arrs
+        best_T, _, _ = _hypotheses_and_select(
+            cfg, key, ps, fs, ms, pt, ft, mt,
+            ps, fs, ms, pt, ft, mt)
+        return np.asarray(best_T)
+
+    def test_gate_fires_equals_always_on(self, rng, key):
+        from umeregrobust_tpu.pipeline.registration import RegistrationConfig
+        gt, arrs = self._inputs(rng, key)
+        base = dict(num_init_keypoints=128, ume_n_samples=64,
+                    ume_max_nn=64, corr_coarse_src=None, corr_rescore_top=8,
+                    corr_triage_src=None, consensus_cands=4,
+                    consensus_struct_cap=256, consensus_polish_rows=128)
+        # gate=2.0: the inlier ratio is always < 2, so the cond-true branch
+        # runs on every pair — must equal the static always-on program
+        T_static = self._run(RegistrationConfig(**base), key, arrs)
+        T_gated = self._run(
+            RegistrationConfig(consensus_gate_inliers=2.0, **base), key, arrs)
+        np.testing.assert_array_equal(T_static, T_gated)
+
+    def test_gate_skip_returns_cascade_winner(self, rng, key):
+        from umeregrobust_tpu.pipeline.registration import RegistrationConfig
+        gt, arrs = self._inputs(rng, key)
+        base = dict(num_init_keypoints=128, ume_n_samples=64,
+                    ume_max_nn=64, corr_coarse_src=None, corr_rescore_top=8,
+                    corr_triage_src=None, consensus_struct_cap=256,
+                    consensus_polish_rows=128)
+        # identical clouds (same feature rows) -> matching is perfect, the
+        # cascade winner has inlier ratio ~1, and a small gate SKIPS the
+        # rescue stack: the result must be the pure cascade winner (the
+        # consensus-off program's output)
+        T_off = self._run(RegistrationConfig(consensus_cands=0, **base),
+                          key, arrs)
+        T_skip = self._run(
+            RegistrationConfig(consensus_cands=4,
+                               consensus_gate_inliers=0.2, **base),
+            key, arrs)
+        np.testing.assert_allclose(T_off, T_skip, atol=1e-5)
+        # and the winner is actually correct (sanity: perfect matches)
+        rre = relative_rotation_error(jnp.asarray(T_skip[:3, :3]),
+                                      jnp.asarray(gt[:3, :3]))
+        assert float(rre) < 5.0
+
+
+class TestSecondRound:
+    """Overlap-aware second-round resampling (r5, VERDICT r4 #3)."""
+
+    def _setup(self, rng, key):
+        gate = TestAdaptiveGate()
+        return gate._inputs(rng, key), gate._run
+
+    def test_sr_skipped_on_strong_support(self, rng, key):
+        """Perfect matches -> inlier ratio ~1 -> the second round must not
+        fire: result identical to sr off."""
+        from umeregrobust_tpu.pipeline.registration import RegistrationConfig
+        (gt, arrs), run = self._setup(rng, key)
+        base = dict(num_init_keypoints=128, ume_n_samples=64,
+                    ume_max_nn=64, corr_coarse_src=None, corr_rescore_top=8,
+                    corr_triage_src=None, consensus_cands=4,
+                    consensus_struct_cap=256, consensus_polish_rows=128)
+        T_off = run(RegistrationConfig(**base), key, arrs)
+        T_sr = run(RegistrationConfig(sr_kpts=64, sr_hyps=32,
+                                      sr_gate_inliers=0.2, **base),
+                   key, arrs)
+        np.testing.assert_array_equal(T_off, T_sr)
+
+    def test_sr_forced_is_rigid_and_accurate(self, rng, key):
+        """sr_gate_inliers=2.0 forces the second round on a well-posed
+        pair: the arbiter must not lose the (correct) round-1 winner —
+        T0 competes in the polished candidate set."""
+        from umeregrobust_tpu.pipeline.registration import RegistrationConfig
+        (gt, arrs), run = self._setup(rng, key)
+        base = dict(num_init_keypoints=128, ume_n_samples=64,
+                    ume_max_nn=64, corr_coarse_src=None, corr_rescore_top=8,
+                    corr_triage_src=None, consensus_cands=4,
+                    consensus_struct_cap=256, consensus_polish_rows=128)
+        T = run(RegistrationConfig(sr_kpts=64, sr_hyps=32,
+                                   sr_gate_inliers=2.0, **base), key, arrs)
+        assert np.isfinite(T).all()
+        R = T[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+        rre = relative_rotation_error(jnp.asarray(T[:3, :3]),
+                                      jnp.asarray(gt[:3, :3]))
+        assert float(rre) < 5.0
+
+    def test_overlap_weight_marks_coobserved(self, rng):
+        """_overlap_weight flags q points with a k point within ~radius and
+        not isolated ones."""
+        from umeregrobust_tpu.pipeline.registration import _overlap_weight
+        k_pts = rng.uniform(0, 10, size=(500, 3)).astype(np.float32)
+        q_near = k_pts[:100] + rng.normal(0, 0.2, (100, 3)).astype(np.float32)
+        q_far = q_near + np.float32([50.0, 0, 0])
+        q = jnp.asarray(np.concatenate([q_near, q_far]))
+        m = jnp.ones(200, bool)
+        km = jnp.ones(500, bool)
+        w = np.asarray(_overlap_weight(q, m, jnp.asarray(k_pts), km,
+                                       2.0, (40, 40, 40)))
+        assert w[:100].all()
+        assert not w[100:].any()

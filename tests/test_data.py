@@ -101,6 +101,52 @@ class TestSEM:
         assert ratio_new < ratio_old / 3  # much flatter density profile
 
 
+class TestSEMOracle:
+    def test_oracle_completion_is_shared_surface(self):
+        """mode="oracle" (VERDICT r4 #4): both scans' completions come from
+        the SAME scene samples, so in the overlap the two equalized clouds
+        agree where the per-scan voxel/patch fills cannot — and every added
+        point stays within oracle_radius of the scan that received it."""
+        pair = make_pair(SceneConfig(extent=10.0, ground_points=3000,
+                                     structure_points=4000, n_boxes=6,
+                                     n_walls=2, n_poles=3,
+                                     observe_mode="lidar", baseline=4.0,
+                                     azimuth_bins=600, elevation_bins=32),
+                         max_rotation_deg=30, max_translation=2.0, seed=3)
+        gt = pair["gt_tform"]
+        scene_src = pair["scene_pts"]
+        scene_tgt = (scene_src @ gt[:3, :3].T + gt[:3, 3]).astype(np.float32)
+        cfg = SEMConfig(num_points=20000, mode="oracle", oracle_radius=1.5,
+                        seed=5)
+        ep_s, es_s = equalize_sampling(pair["src_pts"], pair["src_seg"], cfg,
+                                       scene_pts=scene_src,
+                                       scene_seg=pair["scene_seg"])
+        ep_t, es_t = equalize_sampling(pair["tgt_pts"], pair["tgt_seg"], cfg,
+                                       scene_pts=scene_tgt,
+                                       scene_seg=pair["scene_seg"])
+        assert ep_s.shape == (20000, 3) and ep_t.shape == (20000, 3)
+        assert (es_s > 0).mean() > 0.9 and (es_t > 0).mean() > 0.9
+        # augmentation is local: no equalized point far from the raw scan
+        from scipy.spatial import cKDTree
+        d_s, _ = cKDTree(pair["src_pts"]).query(ep_s)
+        assert d_s.max() < cfg.oracle_radius + 3 * cfg.fine_voxel
+        # completion consistency: map src-side output into tgt frame; in
+        # the co-observed region the NN distance to the tgt-side output is
+        # voxel-scale (shared surface), not patch/ring-gap scale
+        ep_s_in_t = ep_s @ gt[:3, :3].T + gt[:3, 3]
+        d_sym, _ = cKDTree(ep_t).query(ep_s_in_t)
+        near_tgt_scan, _ = cKDTree(pair["tgt_pts"]).query(ep_s_in_t)
+        overlap = near_tgt_scan < 1.0
+        assert overlap.mean() > 0.2
+        assert np.median(d_sym[overlap]) < 3 * cfg.fine_voxel
+
+    def test_oracle_requires_scene(self):
+        with pytest.raises(ValueError):
+            equalize_sampling(np.zeros((10, 3), np.float32),
+                              np.ones(10, np.int32),
+                              SEMConfig(mode="oracle"))
+
+
 class TestDatasetAndCollate:
     @pytest.fixture
     def kitti_tree(self, tmp_path, rng):

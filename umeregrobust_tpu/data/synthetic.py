@@ -303,4 +303,9 @@ def make_pair(
         "tgt_pts": tgt_pts,
         "tgt_seg": tgt_seg.astype(np.int32),
         "gt_tform": gt,
+        # GT surface samples (WORLD frame, no per-scan clutter/noise):
+        # the shared-surface oracle for SEM completion A/Bs
+        # (data/sem.py mode="oracle"; tgt-frame consumers apply gt)
+        "scene_pts": pts.astype(np.float32),
+        "scene_seg": labels.astype(np.int32),
     }
