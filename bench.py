@@ -126,6 +126,14 @@ def build_parser():
                          "surface — the completion-consistency property "
                          "real NKSR has — bounding what NKSR could buy; "
                          "data/sem.py, VERDICT r4 #4)")
+    ap.add_argument("--cfg-set", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="generic RegistrationConfig override (repeatable); "
+                         "KEY must be a dataclass field, VALUE is parsed by "
+                         "the field's type (int/float/bool/str; 'none' -> "
+                         "None). Serves one-off ablations (e.g. the r5 "
+                         "holdout retro-sweep: estimator_sweeps, "
+                         "consensus_tau) without a dedicated flag each.")
     ap.add_argument("--sr-kpts", type=int, default=-1,
                     help="overlap-aware second-round resampling: keypoints "
                          "per side (0 = off; RegistrationConfig.sr_kpts, "
@@ -275,9 +283,30 @@ def run_regime(cli, regime):
             or cli.coarse_tgt or cli.triage_tgt or cli.icp_inner
             or cli.feat_copy >= 0 or cli.triage_top or cli.kp_boost >= 0
             or cli.icp_grid_scale > 0 or cli.consensus_gate >= 0
-            or cli.sr_kpts >= 0):
+            or cli.sr_kpts >= 0 or cli.cfg_set):
+        from dataclasses import fields as dc_fields
         from dataclasses import replace
         kw = {}
+        if cli.cfg_set:
+            ftypes = {f.name: f for f in dc_fields(type(cfg))}
+            for kv in cli.cfg_set:
+                k, _, v = kv.partition("=")
+                if k not in ftypes:
+                    raise SystemExit(f"--cfg-set: unknown config field {k!r}")
+                cur = getattr(cfg, k)
+                if v.lower() == "none":
+                    val = None
+                elif isinstance(cur, bool):
+                    val = v.lower() in ("1", "true", "yes")
+                elif isinstance(cur, int):
+                    val = int(v)
+                elif isinstance(cur, float) or cur is None:
+                    val = float(v)
+                elif isinstance(cur, tuple):
+                    val = tuple(type(cur[0])(x) for x in v.split(","))
+                else:
+                    val = v
+                kw[k] = val
         if cli.corr_mode:
             kw["corr_mode"] = cli.corr_mode
         if cli.hyps:

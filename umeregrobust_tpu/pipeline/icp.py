@@ -58,9 +58,9 @@ def _umeyama_hp(p, q, w):
 
 @partial(jax.jit,
          static_argnames=("max_corr", "max_iter", "budget", "dims", "inner",
-                          "cell"))
+                          "cell", "disp_exit"))
 def _icp_loop(src, src_mask, grid_arrays, init_T, max_corr, max_iter, budget,
-              dims, inner=1, cell=None):
+              dims, inner=1, cell=None, disp_exit=1e-4):
     """inner > 1 enables candidate-set reuse: the per-iteration cost is the
     RANDOM candidate gather (9 windows x budget rows x #queries, ~3
     cycles/row on v5e — ~4 ms at 4096 queries / budget 32), while re-
@@ -156,7 +156,10 @@ def _icp_loop(src, src_mask, grid_arrays, init_T, max_corr, max_iter, budget,
         m = src_mask.astype(jnp.float32)
         n_m = jnp.maximum(jnp.sum(m), 1.0)
         disp2 = jnp.sum(jnp.sum((src_new - src_old) ** 2, axis=-1) * m) / n_m
-        converged = converged | (disp2 <= jnp.float32(1e-4) ** 2)
+        # disp_exit: RMS block displacement below which the remaining
+        # motion is geometrically negligible (RegistrationConfig.
+        # icp_disp_exit; iteration-accounting A/B in BENCH_NOTES_r5)
+        converged = converged | (disp2 <= jnp.float32(disp_exit) ** 2)
         return T_new, rmse, fit, it + inner, converged
 
     def cond(state):

@@ -174,6 +174,12 @@ class RegistrationConfig:
     icp_multires: int = 1024
     icp_multires_iter: int = 40
     icp_multires_budget: int = 8
+    # RMS displacement (m) under which an ICP stage's block exit fires
+    # (pipeline/icp._icp_loop). The r4 value 1e-4 (0.1 mm) was asserted,
+    # not measured; the SP bar is 0.1 m and the iteration accounting
+    # (tools/icp_account.py) showed the exact stage spending extra
+    # gather blocks converging the last ~micrometers.
+    icp_disp_exit: float = 1e-4
     # dense-grid box (cells) for the ICP correspondence index; the default
     # covers 77 m at 0.2 m cells — reference-regime scenes (100 m+ span)
     # need a larger box.
@@ -430,7 +436,8 @@ def refine_with_icp(
     for (arrays, cell, dims), corr, iters, budget, sp, smk in stages:
         T, rmse, fit, it = _icp_loop(sp, smk, arrays, T, corr, iters, budget,
                                      dims, inner=int(cfg.icp_inner),
-                                     cell=cell)
+                                     cell=cell,
+                                     disp_exit=float(cfg.icp_disp_exit))
         stage_iters.append(it)
     if return_iters:
         # iteration accounting (VERDICT r4 #2b): sub-iterations each stage
