@@ -174,6 +174,50 @@ class TestRefineSchedule:
         rte = float(np.linalg.norm(np.asarray(T_m)[:3, 3] - gt[:3, 3]))
         assert rte < 0.1, rte
 
+    def test_exact_rows_subsample_matches_full(self, rng):
+        """icp_exact_rows caps the exact stage's source rows (a uniform
+        subsample under the randomized-fill invariant); the resulting
+        transform must agree with the full-rows fit far below the SP bar
+        (fit noise scales as 1/sqrt(rows))."""
+        from dataclasses import replace
+
+        from umeregrobust_tpu.data.synthetic import SceneConfig, make_pair
+        from umeregrobust_tpu.pipeline.registration import (
+            RegistrationConfig, refine_with_icp)
+
+        pair = make_pair(SceneConfig(extent=15.0, ground_points=4000,
+                                     structure_points=8000, n_boxes=12,
+                                     n_walls=4, n_poles=6,
+                                     observe_mode="lidar", baseline=3.0),
+                         max_rotation_deg=30, max_translation=3.0, seed=11)
+        gt = pair["gt_tform"]
+        perm = rng.permutation(len(pair["src_pts"]))[:3000]
+        src = jnp.asarray(pair["src_pts"][perm])
+        tgt = jnp.asarray(pair["tgt_pts"][:3000])
+        m = jnp.ones((3000,), bool)
+        ang = np.radians(1.5)
+        dR = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
+        init = gt.copy()
+        init[:3, :3] = dR @ gt[:3, :3]
+        init[:3, 3] += np.array([0.15, -0.1, 0.05], np.float32)
+
+        base = RegistrationConfig(icp_max_corr=0.4, icp_max_iter=60,
+                                  icp_budget=32, icp_raw_iter=0,
+                                  icp_multires=512, icp_multires_iter=40,
+                                  icp_multires_budget=8)
+        T_full, _, _ = refine_with_icp(base, jnp.asarray(init),
+                                       src, m, tgt, m)
+        T_sub, _, _ = refine_with_icp(replace(base, icp_exact_rows=1024),
+                                      jnp.asarray(init), src, m, tgt, m)
+        d_rot = np.abs(np.asarray(T_sub)[:3, :3] - np.asarray(T_full)[:3, :3])
+        d_t = np.linalg.norm(np.asarray(T_sub)[:3, 3]
+                             - np.asarray(T_full)[:3, 3])
+        assert d_rot.max() < 5e-3, d_rot.max()
+        assert d_t < 0.05, d_t
+        rte = float(np.linalg.norm(np.asarray(T_sub)[:3, 3] - gt[:3, 3]))
+        assert rte < 0.1, rte
+
 
 class TestCorrelator:
     def test_selects_gt_hypothesis(self, rng, key):

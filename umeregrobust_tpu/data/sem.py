@@ -54,10 +54,15 @@ class SEMConfig:
     # default, 28 tuning + 28 holdout pairs): voxel NP=96.4% aggregate,
     # patch NP=76.8% — patch LOSES 39 recall points in the low-overlap
     # regimes (lowoverlap 100->57.1 tuning / 100->57.1 holdout, verylow
-    # 71.4->57.1 / 100->42.9). Synthesizing geometry across ring gaps
-    # plants plane samples the other scan never observes, which poisons
-    # UME moment sets exactly where overlap is scarce. Default stays
-    # "voxel" by measurement (BENCH_NOTES_r4.md).
+    # 71.4->57.1 / 100->42.9). The r5 oracle probe (below) showed the
+    # failure is NOT completion per se: PER-SCAN plane fill synthesizes
+    # geometry the other scan's completion does not reproduce (the fill
+    # is viewpoint-dependent), which corrupts UME moment sets exactly
+    # where overlap is scarce — whereas SHARED-surface completion
+    # (mode="oracle", what real NKSR approximates) reaches NP/SP 100% on
+    # every regime and suite (BENCH_NOTES_r5). Default stays "voxel" by
+    # measurement; the negative closes this patch implementation, not
+    # NKSR's property.
     mode: str = "voxel"
     patch: float = 0.6
     # planarity gate: smallest/middle PCA eigenvalue ratio of the

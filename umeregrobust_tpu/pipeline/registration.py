@@ -174,6 +174,14 @@ class RegistrationConfig:
     icp_multires: int = 1024
     icp_multires_iter: int = 40
     icp_multires_budget: int = 8
+    # source rows of the exact full-resolution stage (0 = all corr rows).
+    # The exact stage's job is the final rigid fit; fit noise scales as
+    # 1/sqrt(rows), so a few thousand correspondences already sit orders
+    # below the 0.1 m SP bar while the per-iteration candidate gather
+    # scales linearly with rows (the top stage of the r5 reduced-point
+    # trace, PROFILE.md). Rows are a uniform subsample — callers fill
+    # clouds in randomized order (same invariant icp_multires relies on).
+    icp_exact_rows: int = 0
     # RMS displacement (m) under which an ICP stage's block exit fires
     # (pipeline/icp._icp_loop). The r4 value 1e-4 (0.1 mm) was asserted,
     # not measured; the SP bar is 0.1 m and the iteration accounting
@@ -423,8 +431,13 @@ def refine_with_icp(
                        int(cfg.icp_multires_iter),
                        int(cfg.icp_multires_budget),
                        corr_src_pts[:m], corr_src_mask[:m]))
+    e = int(cfg.icp_exact_rows)
+    if e and e < corr_src_pts.shape[0]:
+        exact_sp, exact_smk = corr_src_pts[:e], corr_src_mask[:e]
+    else:
+        exact_sp, exact_smk = corr_src_pts, corr_src_mask
     stages.append((corr_grid, float(cfg.icp_max_corr), int(cfg.icp_max_iter),
-                   int(cfg.icp_budget), corr_src_pts, corr_src_mask))
+                   int(cfg.icp_budget), exact_sp, exact_smk))
     if raw_src_pts is not None and cfg.icp_raw_iter > 0:
         stages.append((grid_arrays(raw_tgt_pts, raw_tgt_mask,
                                    float(cfg.icp_max_corr)),
