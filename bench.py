@@ -147,6 +147,14 @@ def build_parser():
                          "consensus; >0 = skip the rescue stack when the "
                          "cascade winner's match-inlier ratio is >= this; "
                          "RegistrationConfig.consensus_gate_inliers)")
+    ap.add_argument("--parity", action="store_true",
+                    help="apply the CLI's reference-semantics parity "
+                         "profile (cli/evaluate.PARITY_PROFILE: knn "
+                         "correlator, no consensus/triage/coarse cascade, "
+                         "exact feature copy, single-stage per-iteration-"
+                         "gather ICP) on top of the regime's sizes — the "
+                         "end-to-end numbers for the algorithmically "
+                         "reference-faithful mode (VERDICT r4 #9)")
     ap.add_argument("--ref-caps-50k", action="store_true",
                     help="reference regime: restore the r4 padded caps "
                          "(50176, 37632, 18816, 9408, 3200) instead of the "
@@ -268,15 +276,31 @@ def run_regime(cli, regime):
         # rescore_top 4: recall byte-identical to 16 (the consensus
         # arbiter re-scores the polished winner set anyway, so exact-stage
         # finalists beyond the top 4 never decide), 15.74 -> 16.01 pairs/s
+        # consensus_gate 0.01 (r5, VERDICT r4 #2a): skip the rescue stack
+        # when the cascade winner's match-inlier ratio is >= 0.01 —
+        # calibrated from the measured distribution (gate_probe: 0.003-
+        # 0.044 across regimes, splits ~50% of pairs; EXPERIMENTS.md E8).
+        # Adopted with icp_disp_exit=1e-3: 18.96 -> 19.78 pairs/s at
+        # byte-identical recall on BOTH suites (BENCH_NOTES_r5).
         cfg = RegistrationConfig(
             num_init_keypoints=2048, ume_n_samples=2048,
             corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=4,
             icp_max_corr=0.4, icp_max_iter=60,
-            icp_coarse_corr=None)
+            icp_coarse_corr=None, consensus_gate_inliers=0.01)
         scene_kw = dict(extent=25.0, ground_points=12000,
                         structure_points=24000)
         sem_points = 50000
         RAW_CAP = 20480
+    if cli.parity:
+        # reference-semantics mode: same knob set the CLI's parity=true
+        # profile applies (single source: cli/evaluate.PARITY_PROFILE) —
+        # the cascade/consensus/multires machinery off, Open3D-style
+        # per-iteration correspondence search (icp_inner=1)
+        from dataclasses import replace as _dc_replace
+
+        from umeregrobust_tpu.cli.evaluate import PARITY_PROFILE
+        cfg = _dc_replace(cfg, **PARITY_PROFILE)
+        log(f"parity profile applied: {PARITY_PROFILE}")
     if (cli.corr_mode or cli.hyps or cli.kpts or cli.filter_mode
             or cli.triage >= 0 or cli.icp_iter or cli.coarse_src
             or cli.rescore_top or cli.mr_iter or cli.consensus >= 0

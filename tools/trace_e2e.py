@@ -48,9 +48,10 @@ def main():
     print("devices:", jax.devices(), flush=True)
     arch = ARCHS["ResUNetSmall2"]
     if args.regime == "reference":
-        # mirror bench.py's reference-regime cfg exactly
-        SEM_CAP, CORR_CAP = 50176, 10240
-        caps = (SEM_CAP, 37632, 18816, 9408, 3200)
+        # mirror bench.py's reference-regime cfg exactly (r5 occupancy-
+        # sized caps, BENCH_NOTES_r5 #1)
+        SEM_CAP, CORR_CAP = 22528, 10240
+        caps = (SEM_CAP, 14336, 6912, 2304, 512)
         cfg = RegistrationConfig(icp_dims=(768, 768, 96), icp_budget=24,
                                  corr_coarse_src=1024, corr_coarse_tgt=2048,
                                  corr_rescore_top=8)
@@ -61,9 +62,12 @@ def main():
         SEM_CAP, CORR_CAP = 16384, 4096
         caps = (SEM_CAP, 10240, 4096, 1280, 256)
         # mirror bench.py's reduced-regime cfg exactly
+        # consensus_gate stays 0 here: the trace runs ONE nominal pair,
+        # and the gate would skip the consensus program entirely —
+        # keeping it visible in the breakdown is the point of the trace
         cfg = RegistrationConfig(
             num_init_keypoints=2048, ume_n_samples=args.hyps,
-            corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=16,
+            corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=4,
             icp_max_corr=0.4, icp_max_iter=60, icp_coarse_corr=None,
             icp_budget=32)
         scene_kw = dict(extent=25.0, ground_points=12000,

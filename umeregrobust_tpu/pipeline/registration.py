@@ -186,8 +186,10 @@ class RegistrationConfig:
     # (pipeline/icp._icp_loop). The r4 value 1e-4 (0.1 mm) was asserted,
     # not measured; the SP bar is 0.1 m and the iteration accounting
     # (tools/icp_account.py) showed the exact stage spending extra
-    # gather blocks converging the last ~micrometers.
-    icp_disp_exit: float = 1e-4
+    # gather blocks converging the last ~micrometers. 1e-3 (1 mm) is
+    # adopted r5 after recall-identical A/Bs on BOTH suites at BOTH
+    # operating points (BENCH_NOTES_r5 #3).
+    icp_disp_exit: float = 1e-3
     # dense-grid box (cells) for the ICP correspondence index; the default
     # covers 77 m at 0.2 m cells — reference-regime scenes (100 m+ span)
     # need a larger box.
