@@ -160,6 +160,14 @@ def build_parser():
                          "(50176, 37632, 18816, 9408, 3200) instead of the "
                          "occupancy-sized ones (A/B for the r5 cap "
                          "right-sizing; tools/occupancy_probe.py)")
+    ap.add_argument("--only-regime", default="",
+                    choices=("", "nominal", "rotheavy", "lowoverlap",
+                             "verylow"),
+                    help="restrict the suite to one regime (with "
+                         "--pairs-per-regime this gives a wide single-"
+                         "regime suite — e.g. a 2x21-pair verylow-only "
+                         "run to firm up the recall frontier, VERDICT r4 "
+                         "weak #3)")
     ap.add_argument("--no-holdout", action="store_true",
                     help="skip the holdout-seed suite (disjoint seeds "
                          "NEVER used for knob tuning — the default run "
@@ -207,6 +215,12 @@ def run_regime(cli, regime):
         "verylow": dict(baseline=30.0, max_rotation_deg=180,
                         min_rotation_deg=150, max_translation=14.0),
     }
+    # canonical per-regime seed bases are keyed by the FULL regime order
+    # so an --only-regime run reproduces the exact suite pairs (plus
+    # extensions at higher --pairs-per-regime)
+    REGIME_IDX = {rname: r_i for r_i, rname in enumerate(REGIMES)}
+    if cli.only_regime:
+        REGIMES = {cli.only_regime: REGIMES[cli.only_regime]}
     arch = ARCHS["ResUNetSmall2"]
     if regime == "reference":
         # the reference's own kitti_test operating point
@@ -282,11 +296,18 @@ def run_regime(cli, regime):
         # 0.044 across regimes, splits ~50% of pairs; EXPERIMENTS.md E8).
         # Adopted with icp_disp_exit=1e-3: 18.96 -> 19.78 pairs/s at
         # byte-identical recall on BOTH suites (BENCH_NOTES_r5).
+        # icp_exact_rows 1024 (r5): the exact ICP stage's per-iteration
+        # candidate gather scales with source rows; 1024 rows keep the
+        # final fit orders below the SP bar (recall byte-identical,
+        # worst passing RTE 0.077 vs 0.076 at full rows) while 512 rows
+        # regress SP (a holdout verylow pair lands at RTE 0.110) with
+        # zero further speed gain — the knee. 19.80 -> 21.64 pairs/s.
         cfg = RegistrationConfig(
             num_init_keypoints=2048, ume_n_samples=2048,
             corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=4,
             icp_max_corr=0.4, icp_max_iter=60,
-            icp_coarse_corr=None, consensus_gate_inliers=0.01)
+            icp_coarse_corr=None, consensus_gate_inliers=0.01,
+            icp_exact_rows=1024)
         scene_kw = dict(extent=25.0, ground_points=12000,
                         structure_points=24000)
         sem_points = 50000
@@ -448,7 +469,8 @@ def run_regime(cli, regime):
     from umeregrobust_tpu.pipeline.e2e import register_pair_e2e
 
     pairs, tags, suites = [], [], []
-    for r_i, (rname, rkw) in enumerate(REGIMES.items()):
+    for rname, rkw in REGIMES.items():
+        r_i = REGIME_IDX[rname]
         for i in range(N_PER_REGIME):
             pairs.append(prep_pair(100 + 37 * r_i + i, **rkw))
             tags.append(rname)
@@ -458,7 +480,8 @@ def run_regime(cli, regime):
         # holdout suite: disjoint scene seeds, NEVER used for knob tuning
         # (the ~15 coupled rescue-stack knobs were selected on the 28
         # fixed-seed pairs above — this guards against quiet overfitting)
-        for r_i, (rname, rkw) in enumerate(REGIMES.items()):
+        for rname, rkw in REGIMES.items():
+            r_i = REGIME_IDX[rname]
             for i in range(N_PER_REGIME):
                 pairs.append(prep_pair(5000 + 41 * r_i + i, **rkw))
                 tags.append(rname)

@@ -157,11 +157,15 @@ class TestExtraTs:
             assert scores.shape == (128,)
 
 
+@pytest.mark.slow
 class TestAdaptiveGate:
     """consensus_gate_inliers (r5, VERDICT r4 #2a): the lax.cond-gated
     rescue stack must (a) reproduce the always-on result exactly when the
     gate fires (inlier ratio below threshold), and (b) return the pure
-    cascade winner when support is unimodal and the stack is skipped."""
+    cascade winner when support is unimodal and the stack is skipped.
+
+    slow-marked: each case runs full register_pair_features twice
+    (~30-45 s of CPU compile) — together ~2.5 min of the commit tier."""
 
     def _inputs(self, rng, key, n=512, n_feat=16):
         from umeregrobust_tpu.core.transforms import apply_transform
@@ -221,8 +225,10 @@ class TestAdaptiveGate:
         assert float(rre) < 5.0
 
 
+@pytest.mark.slow
 class TestSecondRound:
-    """Overlap-aware second-round resampling (r5, VERDICT r4 #3)."""
+    """Overlap-aware second-round resampling (r5, VERDICT r4 #3).
+    slow-marked: see TestAdaptiveGate."""
 
     def _setup(self, rng, key):
         gate = TestAdaptiveGate()
