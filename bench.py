@@ -263,10 +263,20 @@ def run_regime(cli, regime):
         # consensus arbiter re-scores the polished winner set, so a
         # small rescore_top and a subsampled coarse target lose nothing
         # (recall-gated on the 24-pair suite incl. holdout).
-        cfg = RegistrationConfig(icp_dims=(768, 768, 96),
+        # icp_exact_rows 2048 (r5): same exact-stage row-cap lever as the
+        # reduced point but the knee is HIGHER at extent-50 scenes —
+        # 1024 rows regress a tuning lowoverlap pair past the SP bar
+        # (RTE 0.598); 2048 is recall-identical on both suites.
+        # 9.17 -> 10.03 pairs/s (BENCH_NOTES_r5 #3b).
+        # icp_dims (704,704,64) (r5): measured max cloud span over all 24
+        # suite pairs is 683x685x47 cells at 0.2 m (host span probe,
+        # BENCH_NOTES_r5 #3c); box_overflow=0 at these dims. 56.6M ->
+        # 31.7M run-table cells, 10.03 -> 10.33 pairs/s, recall identical.
+        cfg = RegistrationConfig(icp_dims=(704, 704, 64),
                                  corr_coarse_src=1024,
                                  corr_coarse_tgt=2048,
-                                 corr_rescore_top=8)
+                                 corr_rescore_top=8,
+                                 icp_exact_rows=2048)
         scene_kw = dict(extent=50.0, ground_points=30000,
                         structure_points=60000)
         sem_points = 125000
@@ -302,12 +312,18 @@ def run_regime(cli, regime):
         # worst passing RTE 0.077 vs 0.076 at full rows) while 512 rows
         # regress SP (a holdout verylow pair lands at RTE 0.110) with
         # zero further speed gain — the knee. 19.80 -> 21.64 pairs/s.
+        # icp_dims (192,192,48) (r5): the ICP grid box, like the level
+        # caps, is sized to the DATA — reduced-suite clouds span < 76.8 m
+        # x 19.2 m (box_overflow=0 over all 56 pairs at these dims; the
+        # next notch down, 160^2x40, fails the coverage assert). The
+        # (C+1,) run-table build passes scale with table cells: 14.2M ->
+        # 1.8M cells, 21.64 -> 22.69 pairs/s at identical recall.
         cfg = RegistrationConfig(
             num_init_keypoints=2048, ume_n_samples=2048,
             corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=4,
             icp_max_corr=0.4, icp_max_iter=60,
             icp_coarse_corr=None, consensus_gate_inliers=0.01,
-            icp_exact_rows=1024)
+            icp_exact_rows=1024, icp_dims=(192, 192, 48))
         scene_kw = dict(extent=25.0, ground_points=12000,
                         structure_points=24000)
         sem_points = 50000
