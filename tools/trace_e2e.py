@@ -69,7 +69,7 @@ def main():
             num_init_keypoints=2048, ume_n_samples=args.hyps,
             corr_coarse_src=512, corr_coarse_tgt=1024, corr_rescore_top=4,
             icp_max_corr=0.4, icp_max_iter=60, icp_coarse_corr=None,
-            icp_budget=32)
+            icp_budget=32, icp_exact_rows=1024, icp_dims=(192, 192, 48))
         scene_kw = dict(extent=25.0, ground_points=12000,
                         structure_points=24000)
         sem_points = 50000
